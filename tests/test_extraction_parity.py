@@ -1,0 +1,104 @@
+"""THE correctness gate: span-sequence equality per document on
+(kind, text, media_ref, order) between the distributed pipeline and the
+single-process oracle (BASELINE.json:15)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from docling_rag_spark.datagen import build_spans
+from docling_rag_spark.kernels.extract import extract_document_oracle
+from docling_rag_spark.pipeline import run_extraction
+from docling_rag_spark.schemas import DOCUMENTS_SPANS_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _driver_docs(limit: int = 80) -> list[tuple[str, str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, text from read_parquet('{SF_DIR}/documents.parquet') "
+        f"order by doc_id limit {limit}"
+    ).fetchall()
+    return [(str(d), t or "") for d, t in rows]
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return [(d, build_spans(d, t)) for d, t in _driver_docs()]
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, corpus_rows):
+    docs = spark.createDataFrame(
+        [(d, s) for d, s in corpus_rows], schema=DOCUMENTS_SPANS_SCHEMA
+    )
+    extracted, chunks, lineage = run_extraction(docs, run_id="t", repartition_to=8)
+    return extracted.cache(), chunks.cache(), lineage.cache()
+
+
+def test_span_sequence_equality(pipeline_out, corpus_rows):
+    extracted, _, _ = pipeline_out
+    got = {}
+    for r in extracted.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["order"], r["kind"], r["text"], r["media_ref"])
+        )
+    for seq in got.values():
+        seq.sort()
+    mismatches = []
+    for doc_id, spans in corpus_rows:
+        golden = [
+            (o, k, t, ref) for (o, k, t, ref, _pg) in extract_document_oracle(spans)
+        ]
+        if got.get(doc_id, []) != golden:
+            mismatches.append(doc_id)
+    assert not mismatches, f"span-sequence mismatch for {mismatches[:5]}"
+
+
+def test_orders_are_dense_zero_based(pipeline_out):
+    extracted, _, _ = pipeline_out
+    from pyspark.sql import functions as F
+
+    bad = (
+        extracted.groupBy("doc_id")
+        .agg(
+            F.min("order").alias("mn"),
+            F.max("order").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_lineage_covers_all_docs(pipeline_out, corpus_rows):
+    _, _, lineage = pipeline_out
+    rows = lineage.collect()
+    assert {r["doc_id"] for r in rows} == {d for d, _ in corpus_rows}
+    assert all(r["status"] == "processed" for r in rows)
+    assert all(r["n_spans_in"] >= 1 for r in rows)
+
+
+def test_chunks_id_recipe_and_budget(pipeline_out):
+    _, chunks, _ = pipeline_out
+    import hashlib
+
+    rows = chunks.collect()
+    assert rows
+    for r in rows:
+        want = hashlib.md5(
+            f"{r['doc_id']}_{r['chunk_index']}_{r['text']}".encode()
+        ).hexdigest()
+        assert r["id"] == want
+    # budget: every chunk except possibly a doc's last started under budget;
+    # with the exclusive-prefix-sum spec each chunk has <=512 tokens unless a
+    # single span alone exceeds the budget.
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        idxs = sorted(x["chunk_index"] for x in rs)
+        assert idxs == list(range(len(rs)))
