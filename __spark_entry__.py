@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline end-to-end on the
+sf0.001-derived interleaved corpus. ``queries()`` exposes every implemented
+operator from SURVEY.md §2 (+ the training-pipeline dedup/similarity/
+text-analysis/multimodal operators); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from docling_rag_spark.operators import (  # noqa: E402
+    dedup,
+    embed,
+    extraction_queries,
+    multimodal,
+    retrieval,
+    similarity,
+    textstats,
+)
+
+_MODULES = [
+    extraction_queries,
+    dedup,
+    similarity,
+    textstats,
+    retrieval,
+    embed,
+    multimodal,
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (interleaved spans → ordered spans
+    → chunks) on the sf0.001-derived corpus."""
+    from docling_rag_spark.pipeline import run_extraction
+    from docling_rag_spark.sources.corpus import corpus_for_sf
+
+    corpus = corpus_for_sf(spark, "/root/testdata/sf0.001")
+    _extracted, chunks, _lineage = run_extraction(corpus, run_id="entry")
+    return chunks
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

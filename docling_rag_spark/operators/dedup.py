@@ -1,0 +1,233 @@
+"""Deduplication operators over the `documents` table.
+
+Training-pipeline first-class ops (exact, MinHash+LSH, n-gram Jaccard,
+SimHash). All are pure relational plans (explode → groupBy/join) — no
+Python on the hot path — and every hash is md5-based so the DuckDB oracle
+can reproduce values bit-for-bit (see functions/duckdb_sql.py).
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on md5(text) — the minimal possible.
+- minhash/jaccard: shingle explosion is narrow; the band-signature groupBy
+  and the candidate self-join shuffle only (doc_id, 32-char hash) pairs,
+  never the text. The self-join key (band, signature) is exactly the LSH
+  bucketing that keeps candidate pairs ~linear instead of O(n²).
+- simhash: explode(tokens)×16 bit positions is wide but all codegen;
+  per-doc state is 16 counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.duckdb_sql import shingles_sql, tokens_sql
+from ..functions.text import shingles_col, tokens_col
+from .common import hex4_to_int_sql, table
+
+NUM_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+
+
+# --------------------------------------------------------------------------
+# exact dedup (hash-groupBy) — reference analog: idempotent-id dedup before
+# append (src/storage/postgres.py:98-124 ON CONFLICT DO NOTHING)
+# --------------------------------------------------------------------------
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+select md5(text) as text_hash,
+       count(*) as n_copies,
+       min(doc_id) as keep_doc_id
+from documents group by md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (shingle → md5 minhash → band signature → bucket join)
+# --------------------------------------------------------------------------
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs sharing >=1 of NUM_BANDS band signatures.
+    Band signature = lexicographic min of md5('{band}|{shingle}') over the
+    doc's distinct shingles (portable: min over strings in both engines)."""
+    sh = _shingle_rows(spark, sf_dir)
+    sigs = (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band"),
+            "shingle",
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws("|", F.col("band"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+MINHASH_LSH_SQL = f"""
+with sh as (
+  select doc_id, unnest({shingles_sql('text')}) as shingle from documents
+),
+sigs as (
+  select doc_id, band, min(md5(band::varchar || '|' || shingle)) as sig
+  from sh, unnest(range(0, {NUM_BANDS})) as t(band)
+  group by doc_id, band
+)
+select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared_bands
+from sigs a join sigs b
+  on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id
+group by a.doc_id, b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (sparse shingle self-join, verified similarity)
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+with sh as (
+  select doc_id, unnest({shingles_sql('text')}) as shingle from documents
+),
+sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+shared as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as shared
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select doc_a, doc_b,
+       round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) as jaccard
+from shared
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash (portable 16-bit variant; 64-bit python version in kernels)
+# --------------------------------------------------------------------------
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit simhash over lowercase tokens; token hash = first 4 hex
+    chars of md5(token) → int. Pure codegen: explode(tokens) × 16 bits."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("tok")
+    ).withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "hv",
+    ).withColumn(
+        "contrib",
+        F.when(
+            (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2)
+            == 1,
+            1,
+        ).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    )
+
+
+SIMHASH_SQL = f"""
+with toks as (
+  select doc_id, unnest({tokens_sql('text', lower=True)}) as tok from documents
+),
+hv as (
+  select doc_id, {hex4_to_int_sql("md5(tok)")} as hv from toks
+),
+bits as (
+  select doc_id, j,
+         sum(case when cast(floor(hv / power(2, j)) as bigint) % 2 = 1
+             then 1 else -1 end) as s
+  from hv, unnest(range(0, {SIMHASH_BITS})) as t(j)
+  group by doc_id, j
+)
+select doc_id,
+       cast(sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end)
+            as bigint) as simhash
+from bits group by doc_id
+"""
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_simhash": simhash_docs,
+}
+ORACLES = {
+    "dedup_exact": EXACT_DEDUP_SQL,
+    "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+}

@@ -1,0 +1,390 @@
+"""Retrieval + relational query operators (SURVEY.md §2.4).
+
+Implements the reference's retrieval semantics over the sandbox tables:
+fulltext top-k (T2), vector top-k via similarity.py (T1), reciprocal-rank
+fusion (W1/W2, reference src/retrieval/search.py:7-32), over-fetch ×3 (T3),
+ordered pagination (T4), per-document aggregates (A1), distinct counts
+(A2), point lookups (P9/J6) — plus generic join/agg muscle on the TPC-H
+tables (broadcast-join revenue rollup, pricing summary) and a window-dedup
+on events.
+
+Scale notes: every top-k is orderBy+limit → TakeOrderedAndProject (no
+global sort); small dims (nation/customer-at-sf, query-term arrays) are
+broadcast; pagination is a row_number window (Spark has no OFFSET
+pushdown — SURVEY.md A1 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.duckdb_sql import term_frequency_sql, tokens_sql
+from ..functions.text import chunk_id_col, term_frequency_col, tokens_col
+from .common import table
+from .similarity import QUERY_VEC_ID, _dot, _dot_sql, _lit_vec, _norm, _query_vec
+
+FT_TERMS = ["spark", "window", "join"]
+TOP_K = 25  # reference DEFAULT_TOP_K, src/config.py:35
+OVERFETCH = 3  # reference src/retrieval/search.py:26-30
+RRF_K = 60  # reference src/retrieval/search.py:7
+PAGE_SIZE = 50
+CHUNK_TOKENS = 16  # small budget so sandbox docs (~54 tokens) multi-chunk
+
+
+# --------------------------------------------------------------------------
+# T2: fulltext top-k (token-overlap score — ts_rank_cd stand-in,
+# reference src/storage/postgres.py:167-198)
+# --------------------------------------------------------------------------
+def fulltext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    score = term_frequency_col(F.col("text"), FT_TERMS)
+    return (
+        docs.select("doc_id", score.alias("ft_score"))
+        .filter(F.col("ft_score") > 0)
+        .orderBy(F.desc("ft_score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+FULLTEXT_SQL = f"""
+select doc_id, {term_frequency_sql('text', FT_TERMS)} as ft_score
+from documents
+where {term_frequency_sql('text', FT_TERMS)} > 0
+order by ft_score desc, doc_id asc
+limit {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# W1+W2+T3: hybrid search with reciprocal-rank fusion
+# (reference src/retrieval/search.py:7-32: rank = 1-based position per
+# engine, rrf += 1/(60+rank), over-fetch 3×top_k, final top_k)
+# --------------------------------------------------------------------------
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qcol = _lit_vec(q)
+    fetch = TOP_K * OVERFETCH
+
+    ft = (
+        docs.select(
+            "doc_id", term_frequency_col(F.col("text"), FT_TERMS).alias("s")
+        )
+        .filter(F.col("s") > 0)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(fetch)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id"))),
+        )
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("embedding"), qcol)
+                / (_norm(F.col("embedding")) * _norm(qcol)),
+                6,
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(fetch)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id"))),
+        )
+    )
+    fused = (
+        ft.select("doc_id", "rank")
+        .unionAll(vec.select("doc_id", "rank"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(1.0 / (RRF_K + F.col("rank"))), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+    return fused
+
+
+HYBRID_RRF_SQL = f"""
+with q as (select embedding as qv from embeddings where vec_id = {QUERY_VEC_ID}),
+ft as (
+  select doc_id,
+         row_number() over (order by s desc, doc_id asc) as rank
+  from (
+    select doc_id, {term_frequency_sql('text', FT_TERMS)} as s
+    from documents
+    where {term_frequency_sql('text', FT_TERMS)} > 0
+    order by s desc, doc_id asc limit {TOP_K * OVERFETCH}
+  )
+),
+vec as (
+  select doc_id,
+         row_number() over (order by s desc, doc_id asc) as rank
+  from (
+    select vec_id as doc_id,
+           round({_dot_sql('embedding', 'qv')}
+                 / (sqrt({_dot_sql('embedding', 'embedding')})
+                    * sqrt({_dot_sql('qv', 'qv')})), 6) as s
+    from embeddings, q
+    where vec_id != {QUERY_VEC_ID}
+    order by s desc, doc_id asc limit {TOP_K * OVERFETCH}
+  )
+)
+select doc_id, round(sum(1.0::double / ({RRF_K} + rank)), 6) as rrf_score
+from (select * from ft union all select * from vec)
+group by doc_id
+order by rrf_score desc, doc_id asc
+limit {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# A1: per-group document aggregate (reference list_documents,
+# src/storage/postgres.py:276-286)
+# --------------------------------------------------------------------------
+def doc_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+DOC_META_SQL = """
+select lang, source, count(*) as n_docs, max(n_chars) as max_chars,
+       round(avg(n_chars), 6) as avg_chars
+from documents group by lang, source
+"""
+
+
+# A2: distinct counts (reference src/storage/postgres.py:227-250)
+def doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+DOC_COUNTS_SQL = """
+select count(distinct lang) as n_langs, count(distinct source) as n_sources,
+       count(*) as n_docs
+from documents
+"""
+
+
+# T4: ordered pagination via row_number (reference LIMIT/OFFSET,
+# src/storage/postgres.py:833-838)
+def paginate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") > PAGE_SIZE) & (F.col("rn") <= 2 * PAGE_SIZE))
+        .select("doc_id", "n_chars", "rn")
+    )
+
+
+PAGINATE_SQL = f"""
+select doc_id, n_chars, rn from (
+  select doc_id, n_chars,
+         row_number() over (order by n_chars desc, doc_id asc) as rn
+  from documents
+) where rn > {PAGE_SIZE} and rn <= {2 * PAGE_SIZE}
+"""
+
+
+# P5/P9/J6: predicate point lookups (ILIKE + id-range semi-join analogs,
+# reference src/storage/postgres.py:322-343,823-832)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("doc_id") % 97 == 0) & F.lower(F.col("text")).contains("scan")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+POINT_LOOKUP_SQL = """
+select doc_id, lang, source, n_chars
+from documents
+where doc_id % 97 = 0 and contains(lower(text), 'scan')
+"""
+
+
+# --------------------------------------------------------------------------
+# window dedup on events: latest event per user (W1-class)
+# --------------------------------------------------------------------------
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+LATEST_EVENT_SQL = """
+select user_id, event_id, event_type, round(value, 6) as value from (
+  select *, row_number() over (partition by user_id
+                               order by ts desc, event_id desc) as rn
+  from events
+) where rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# generic agg/join muscle on TPC-H tables (bench headliners)
+# --------------------------------------------------------------------------
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the map-side-combine benchmark."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # money sums as decimal: double summation order differs between
+            # distributed partial aggs and the oracle; decimal is exact
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(8,4)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SQL = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity::decimal(18,4)), 4)::double as sum_qty,
+       round(sum(l_extendedprice::decimal(18,4)), 4)::double as sum_base_price,
+       round(sum(l_extendedprice::decimal(18,4)
+                 * (1 - l_discount)::decimal(8,4)), 4)::double as sum_disc_price,
+       round(avg(l_quantity), 6) as avg_qty,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02'
+group by l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation rollup — customer/nation are broadcast
+    (tiny dims; at 100 TB nation still broadcasts, customer bucketizes)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+REVENUE_SQL = """
+select n_name, count(*) as n_orders,
+       round(sum(o_totalprice::decimal(18,4)), 4)::double as revenue
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# E11-E13 in pure SQL: fixed-budget word chunker with the exact md5 id
+# recipe (oracle-checkable flat-text variant of pipeline.chunk_spans)
+# --------------------------------------------------------------------------
+def chunk_documents_sql_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    grouped = (
+        toks.withColumn("chunk_index", F.floor(F.col("pos") / CHUNK_TOKENS))
+        .groupBy("doc_id", "chunk_index")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").cast("int").alias("n_tokens"),
+        )
+    )
+    return grouped.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "text",
+        "n_tokens",
+        chunk_id_col(F.col("doc_id"), F.col("chunk_index"), F.col("text")).alias("id"),
+    )
+
+
+CHUNK_SQL = f"""
+with toks as (
+  select doc_id, i - 1 as pos, w[i] as tok
+  from (select doc_id, {tokens_sql('text')} as w from documents),
+       unnest(range(1, len(w) + 1)) as t(i)
+)
+select doc_id,
+       cast(floor(pos / {CHUNK_TOKENS}) as bigint) as chunk_index,
+       string_agg(tok, ' ' order by pos) as text,
+       cast(count(*) as int) as n_tokens,
+       md5(doc_id::varchar || '_' ||
+           cast(floor(pos / {CHUNK_TOKENS}) as bigint)::varchar || '_' ||
+           string_agg(tok, ' ' order by pos)) as id
+from toks
+group by doc_id, floor(pos / {CHUNK_TOKENS})
+"""
+
+QUERIES = {
+    "fulltext_topk": fulltext_topk,
+    "hybrid_rrf": hybrid_rrf,
+    "doc_meta_agg": doc_meta_agg,
+    "doc_counts": doc_counts,
+    "paginate_docs": paginate_docs,
+    "point_lookup": point_lookup,
+    "latest_event_per_user": latest_event_per_user,
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "chunk_documents": chunk_documents_sql_variant,
+}
+ORACLES = {
+    "fulltext_topk": FULLTEXT_SQL,
+    "hybrid_rrf": HYBRID_RRF_SQL,
+    "doc_meta_agg": DOC_META_SQL,
+    "doc_counts": DOC_COUNTS_SQL,
+    "paginate_docs": PAGINATE_SQL,
+    "point_lookup": POINT_LOOKUP_SQL,
+    "latest_event_per_user": LATEST_EVENT_SQL,
+    "pricing_summary": PRICING_SQL,
+    "revenue_by_nation": REVENUE_SQL,
+    "chunk_documents": CHUNK_SQL,
+}

@@ -1,0 +1,176 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Reference analog: pgvector cosine top-k with HNSW
+(reference src/storage/postgres.py:127-164, docker/init.sql:20). Spark has
+no vector index; the baseline is a brute-force exact top-k — Catalyst
+compiles orderBy+limit into TakeOrderedAndProject (distributed partial
+top-k, NO global sort), which is the right plan at any scale. The scale
+path is LSH bucketing (random-hyperplane signs): candidates are pruned to
+the query's bucket before scoring.
+
+Numeric portability: vectors are cast to double BEFORE multiplication and
+summed in index order on both sides (Spark: aggregate() left fold; DuckDB:
+list_sum(list_transform(...))), so the oracle matches bit-for-bit; results
+round to 6 dp anyway.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import table
+
+TOP_K = 10
+LSH_PLANES = 4  # 16 buckets — coarse enough that every bucket is populated
+LSH_TOP_K = 5
+DIM = 64
+QUERY_VEC_ID = 0
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K to the query vector (vec_id=0), excluding itself.
+    Plan: scan → codegen cosine → TakeOrderedAndProject(K)."""
+    q = _query_vec(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    qcol = _lit_vec(q)
+    sim = F.round(
+        _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> {a}[i]::double * {b}[i]::double))"
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+with q as (select embedding as qv from embeddings where vec_id = {QUERY_VEC_ID})
+select vec_id, label,
+       round({_dot_sql('embedding', 'qv')}
+             / (sqrt({_dot_sql('embedding', 'embedding')})
+                * sqrt({_dot_sql('qv', 'qv')})), 6) as cosine_sim
+from embeddings, q
+where vec_id != {QUERY_VEC_ID}
+order by cosine_sim desc, vec_id asc
+limit {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN: deterministic md5-derived random hyperplanes
+# --------------------------------------------------------------------------
+def _plane_weights() -> list[list[float]]:
+    """weights[p][d] = ±1 from the parity of md5('{p}|{d}') — deterministic
+    and embeddable as literals in BOTH the Spark plan and the oracle SQL."""
+    planes = []
+    for p in range(LSH_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_col(emb: Column, planes: list[list[float]]) -> Column:
+    b = F.lit(0)
+    for p, w in enumerate(planes):
+        b = b + F.when(_dot(emb, _lit_vec(w)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: score only vectors in the query's
+    bucket (at 100 TB: the bucket id is a partition/cluster key; the scan
+    prunes to one bucket instead of the full table)."""
+    planes = _plane_weights()
+    q = _query_vec(spark, sf_dir)
+    qbucket = 0
+    for p, w in enumerate(planes):
+        if sum(x * y for x, y in zip(q, w)) > 0:
+            qbucket |= 1 << p
+    emb = table(spark, sf_dir, "embeddings")
+    qcol = _lit_vec(q)
+    sim = F.round(
+        _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
+    )
+    return (
+        emb.withColumn("bucket", _bucket_col(F.col("embedding"), planes))
+        .filter((F.col("bucket") == qbucket) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(LSH_TOP_K)
+    )
+
+
+def _bucket_sql(emb: str) -> str:
+    planes = _plane_weights()
+    parts = []
+    for p, w in enumerate(planes):
+        wlit = "[" + ", ".join(str(x) for x in w) + "]"
+        parts.append(
+            f"(case when {_dot_sql(emb, wlit)} > 0 then {1 << p} else 0 end)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+KNN_LSH_SQL = f"""
+with q as (
+  select embedding as qv, {_bucket_sql('embedding')} as qbucket
+  from embeddings where vec_id = {QUERY_VEC_ID}
+)
+select vec_id, label,
+       round({_dot_sql('embedding', 'qv')}
+             / (sqrt({_dot_sql('embedding', 'embedding')})
+                * sqrt({_dot_sql('qv', 'qv')})), 6) as cosine_sim
+from embeddings, q
+where {_bucket_sql('embedding')} = qbucket and vec_id != {QUERY_VEC_ID}
+order by cosine_sim desc, vec_id asc
+limit {LSH_TOP_K}
+"""
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "knn_lsh": knn_lsh,
+}
+ORACLES = {
+    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "knn_lsh": KNN_LSH_SQL,
+}

@@ -1,0 +1,120 @@
+"""Text analysis operators over the `documents` table.
+
+Training-pipeline first-class ops: language-ID (marker n-gram heuristic —
+the deterministic replacement for the reference's langdetect,
+src/utils.py:55-61), quality scoring (length/punct/stopword ratios), token
+counting, document fingerprinting (rolling hash). All but the fingerprint
+are pure Catalyst expressions with exact DuckDB mirrors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import duckdb_sql as dsql
+from ..functions.text import (
+    detect_language_col,
+    punct_ratio_col,
+    stopword_ratio_col,
+    tidy_col,
+    token_count_col,
+)
+from .common import table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+
+def tidy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 `tidy` as a projection (reference src/ingestion/document.py:113-114)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tidy_col(F.col("text")).alias("clean_text"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+
+
+TIDY_SQL = f"""
+select doc_id, {dsql.tidy_sql('text')} as clean_text,
+       {dsql.token_count_sql('text')} as n_tokens
+from documents
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(tidy_col(F.col("text"))).alias("n_chars"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+QUALITY_SQL = f"""
+select doc_id,
+       length({dsql.tidy_sql('text')}) as n_chars,
+       {dsql.token_count_sql('text')} as n_tokens,
+       round({dsql.punct_ratio_sql('text')}, 6) as punct_ratio,
+       round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio
+from documents
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_language_col(F.col("text")).alias("pred_lang")
+    )
+
+
+LANGID_SQL = f"""
+select doc_id, {dsql.detect_language_sql('text')} as pred_lang
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling-hash fingerprint — modular arithmetic is not portably expressible
+# in SQL, so this runs as an Arrow-batched kernel (rows-only driver check;
+# exact parity vs kernels.textutils.rolling_fingerprint tested in pytest)
+# --------------------------------------------------------------------------
+def _fingerprint_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    from ..kernels.textutils import rolling_fingerprint
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fingerprint": [rolling_fingerprint(t or "") for t in pdf["text"]],
+            }
+        )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        _fingerprint_kernel, schema="doc_id long, fingerprint long"
+    )
+
+
+QUERIES = {
+    "text_tidy": tidy_docs,
+    "text_quality": quality_scores,
+    "text_langid": language_id,
+    "text_fingerprint": fingerprints,
+}
+ORACLES = {
+    "text_tidy": TIDY_SQL,
+    "text_quality": QUALITY_SQL,
+    "text_langid": LANGID_SQL,
+    # text_fingerprint: rows-only (non-SQL-expressible modular arithmetic)
+}

@@ -203,8 +203,9 @@ def chunk_spans(extracted: DataFrame, max_tokens: int = MAX_TOKENS) -> DataFrame
     - chunk_index = 0-based rank of segment within doc
     - id = md5('{doc_id}_{chunk_index}_{text}')  (exact reference recipe,
       src/ingestion/chunker.py:49)
-    - page_num = first non-null page among the chunk's spans
-      (src/ingestion/chunker.py:35-42)
+    - page_num = the FIRST span's page (null if that span has no page
+      provenance — exact reference semantics, src/ingestion/chunker.py:35-42:
+      doc_items[0].prov[0].page_no or None)
     """
     w = Window.partitionBy("doc_id").orderBy("order")
     chunkable = (

@@ -1,0 +1,83 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and compare against oracle_sql() in DuckDB (row count + sorted-value frame
+equality). Usage: python tools/oracle_check.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as e  # noqa: E402
+from docling_rag_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows-only, {len(got)} rows ({time.time()-t0:.1f}s)")
+            if len(got) == 0:
+                print(f"WARN {name}: 0 rows")
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failed.append(name)
+            continue
+        a, b = norm(got), norm(want)
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            print(f"ok   {name}: {len(a)} rows match oracle ({time.time()-t0:.1f}s)")
+        except AssertionError as ex:
+            print(f"FAIL {name}: mismatch (spark={len(a)} duckdb={len(b)} rows)")
+            print(str(ex)[:500])
+            print("spark head:", a.head(3).to_dict("records"))
+            print("duck  head:", b.head(3).to_dict("records"))
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok; failed: {failed}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
