@@ -13,6 +13,11 @@ Scale notes (100 TB):
   bucketing that keeps candidate pairs ~linear instead of O(n²).
 - simhash: explode(tokens)×16 bit positions is wide but all codegen;
   per-doc state is 16 counters.
+
+Plan-shape caveat (measured): explode() must sit DIRECTLY over the array
+expression — materializing the array in its own aliased projection first
+makes Generate re-evaluate the whole array per emitted row (~|array|×
+recompute). See _shingle_rows.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.duckdb_sql import shingles_sql, tokens_sql
-from ..functions.text import shingles_col, tokens_col
+from ..functions.text import tokens_col
 from .common import hex4_to_int_sql, table
 
 NUM_BANDS = 4
@@ -55,11 +60,28 @@ from documents group by md5(text)
 # --------------------------------------------------------------------------
 # MinHash + LSH banding (shingle → md5 minhash → band signature → bucket join)
 # --------------------------------------------------------------------------
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Stage the token array as a real column BEFORE the shingle lambda:
+    referencing the raw shingles_col(text) expression duplicates the whole
+    regexp-tokenize tree at every lambda use (huge codegen, ~10× slower)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    toks = docs.select("doc_id", tokens_col(F.col("text"), lower=True).alias("toks"))
+    # CRITICAL plan shape: explode() must sit directly over the shingle
+    # expression in the select ABOVE the token projection. Aliasing the
+    # shingle array in its own intermediate projection lets CollapseProject
+    # inline it into Generate in a form that re-evaluates the whole array per
+    # emitted row (~|shingles|× recompute — measured 18s vs 2s at sf0.1).
+    shingle_expr = F.when(
+        F.size("toks") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        )
     )
+    return toks.select("doc_id", F.explode(shingle_expr).alias("shingle"))
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +191,9 @@ where round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) >= {JACCARD_THRESH
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit simhash over lowercase tokens; token hash = first 4 hex
     chars of md5(token) → int. Pure codegen: explode(tokens) × 16 bits."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("tok")
     ).withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))

@@ -2,30 +2,32 @@
 
 Replaces the reference's single-process orchestration
 (reference src/ingestion/pipeline.py:13-54 — load → chunk → metadata →
-embed → insert) with one declarative DataFrame DAG:
+embed → insert) with one declarative DataFrame DAG, in two interchangeable
+physical shapes (identical output, tested):
 
+NARROW (default — zero shuffles for extraction + lineage):
     read input table
-      → [resume anti-join on lineage]                 (E16, postgres.py:253-262)
-      → posexplode(spans)                             (narrow)
-      → round-robin repartition                       (the ONE shuffle of raw
-         bytes; defuses giant-document skew: a doc with 10^4 spans becomes
-         10^4 independent rows spread across all tasks — SURVEY.md §7.3)
-      → mapInPandas(extract kernel)                   (Arrow-vectorized; the
-         only Python; 1 span row → N block rows)
-      → window row_number over (doc_id | offset, span_idx, block_seq)
-         = the total per-document span order          (SURVEY.md §7.3 #4)
+      → [resume anti-join on lineage]             (E16, postgres.py:253-262)
+      → mapInPandas(whole-doc kernel)             (Arrow-vectorized; ordering
+         computed in-kernel; per-doc lineage sentinel rows)
       → chunk assembly: running-token-sum window → segment → groupBy
          (reference HybridChunker analog, src/ingestion/chunker.py:45-55)
 
+SPREAD (giant-document skew defuse — the north-rule salting path):
+    … → posexplode(spans) → round-robin repartition (one doc's 10^4 spans
+    become 10^4 rows spread over all tasks) → mapInPandas(per-span kernel)
+    → window row_number over (doc_id | offset, span_idx, block_seq)
+    → same chunk assembly
+
 Scale notes (100 TB):
-- The explode is narrow; the single repartition is unavoidable if input
-  files are skewed (one parquet row group can hold one multi-GB document).
-  ``repartition(cols=None)`` is round-robin, so no hot keys exist by
-  construction.
-- The ordering window shuffles only *extracted* blocks (post-boilerplate,
-  much smaller than input), partitioned by doc_id; AQE handles residual
-  skew.
-- Everything after the kernel is pure relational (whole-stage codegen).
+- Extraction is embarrassingly parallel per document → narrow is default;
+  spread's repartition + ordering window shuffle every payload byte and
+  sort the extracted text (measured shuffle-I/O-bound at any core count).
+  Pick spread only when single documents are large enough to straggle a
+  task (SURVEY.md §7.3 #3).
+- Everything after the kernels is pure relational (whole-stage codegen).
+- See BENCH.md "What made it scale" for the measured pitfalls (task.cpus,
+  many-file input, self-referencing-join kernel re-execution).
 """
 
 from __future__ import annotations
@@ -34,11 +36,11 @@ import traceback
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .functions.text import detect_language_col, token_count_col
 from .kernels.extract import extract_span
-from .kernels.textutils import LANG_MARKERS
 from .schemas import BLOCKS_SCHEMA
 
 if TYPE_CHECKING:
@@ -133,26 +135,124 @@ _KERNEL_SCHEMA = (
 
 
 def extract_blocks(spans: DataFrame, repartition_to: int | None = None) -> DataFrame:
-    """Span rows → block rows. Round-robin repartition first (skew defuse)."""
+    """Span rows → block rows.
+
+    ``repartition_to``: round-robin repartition width before the kernel —
+    the giant-document skew defuse (one doc's spans spread over all tasks).
+    * None (default): no shuffle — scan splits provide the parallelism
+      (a many-file Iceberg table at 100 TB is already well-split; shuffling
+      every raw payload byte would dominate the job).
+    * N > 0: explicit shuffle to N partitions — use when the input is a few
+      huge/skewed files or hot keys are known (the north-rule salting knob).
+    """
     if repartition_to:
         spans = spans.repartition(repartition_to)
-    else:
-        spans = spans.repartition(
-            spans.sparkSession.sparkContext.defaultParallelism * 2
-        )
     return spans.mapInPandas(_extract_kernel, schema=_KERNEL_SCHEMA)
 
 
 # --------------------------------------------------------------------------
-# stage 3: total per-document span order (window)
+# narrow path: whole-document kernel (zero-shuffle extraction)
 # --------------------------------------------------------------------------
-def order_spans(blocks: DataFrame) -> DataFrame:
+_NARROW_SCHEMA = (
+    "doc_id string, order int, kind string, text string, media_ref string, "
+    "page_num int, error string, n_spans_in long, partition_id int"
+)
+
+
+def _extract_doc_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Whole-document extraction: one input row (doc_id, spans[]) → ordered
+    span rows, order computed in-kernel (the oracle logic itself — equality
+    with the single-process oracle holds by construction).
+
+    Emits one sentinel row per document (kind='__doc') carrying lineage:
+    error, n_spans_in, n_blocks_out (in `order`). Failed docs emit ONLY the
+    sentinel (no partial output).
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from .kernels.extract import extract_span
+
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    cols = ("doc_id", "order", "kind", "text", "media_ref", "page_num",
+            "error", "n_spans_in", "partition_id")
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+
+        def emit(doc_id, order, kind, text, ref, page, err, n_in):
+            out["doc_id"].append(doc_id)
+            out["order"].append(order)
+            out["kind"].append(kind)
+            out["text"].append(text)
+            out["media_ref"].append(ref)
+            out["page_num"].append(page)
+            out["error"].append(err)
+            out["n_spans_in"].append(n_in)
+            out["partition_id"].append(pid)
+
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            span_list = list(spans) if spans is not None else []
+            n_in = len(span_list)
+            # same traversal as kernels.extract.extract_document_oracle,
+            # with per-span errors promoted to doc failure (dead letter)
+            indexed = sorted(
+                enumerate(span_list),
+                key=lambda p: ((p[1].get("offset") or 0), p[0]),
+            )
+            blocks: list = []
+            err = None
+            try:
+                for _, s in indexed:
+                    for k, t, r, page in extract_span(
+                        s.get("kind"), s.get("text"), s.get("media_ref")
+                    ):
+                        if k == "error":
+                            err = t
+                            break
+                        blocks.append((k, t, r, page))
+                    if err:
+                        break
+            except Exception:
+                err = traceback.format_exc(limit=2)
+            if err is None:
+                for order, (kind, text, ref, page) in enumerate(blocks):
+                    emit(doc_id, order, kind, text, ref, page, None, n_in)
+                emit(doc_id, len(blocks), "__doc", None, None, None, None, n_in)
+            else:
+                emit(doc_id, 0, "__doc", None, None, None, err, n_in)
+        yield pd.DataFrame(out)
+
+
+def extract_documents_narrow(docs: DataFrame) -> DataFrame:
+    """Zero-shuffle extraction over whole-document rows. The default path:
+    extraction is embarrassingly parallel per document, so shuffling raw
+    payload bytes (spread path) is pure overhead unless the input files are
+    few/skewed. A giant document is one task's straggler here — switch to
+    the spread path when that dominates (SURVEY.md §7.3 #3)."""
+    return docs.mapInPandas(_extract_doc_kernel, schema=_NARROW_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# stage 3 (spread path): total per-document span order (window)
+# --------------------------------------------------------------------------
+def order_spans(blocks: DataFrame, drop_failed_docs: bool = True) -> DataFrame:
     """Blocks → the FIXTURES.md F2 output: 0-based total order per doc.
 
     Never relies on batch arrival order (SURVEY.md §7.3 #4): the order is
     recomputed from (offset, span_idx, block_seq) after the shuffle.
+
+    Failed-document exclusion is a SECOND window over the SAME partitioning
+    (doc_id) — one exchange serves both — NOT an anti-join against a
+    `blocks.filter(error)` branch: a self-referencing join re-executes the
+    whole extraction kernel per branch (measured 2× kernel cost per job).
     """
-    order_w = Window.partitionBy("doc_id").orderBy("offset", "span_idx", "block_seq")
+    doc_w = Window.partitionBy("doc_id")
+    order_w = doc_w.orderBy("offset", "span_idx", "block_seq")
+    if drop_failed_docs:
+        blocks = blocks.withColumn(
+            "_doc_failed",
+            F.max(F.col("error").isNotNull().cast("int")).over(doc_w),
+        ).filter(F.col("_doc_failed") == 0)
     real = blocks.filter(~F.col("kind").isin("error", "empty"))
     return real.select(
         "doc_id",
@@ -167,28 +267,6 @@ def order_spans(blocks: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # stage 4: chunk assembly (windows + groupBy — zero Python)
 # --------------------------------------------------------------------------
-def token_count_col(text: Column) -> Column:
-    """Whitespace token count, identical to kernels.textutils.token_count
-    and to the DuckDB oracle expression."""
-    t = F.trim(F.regexp_replace(text, r"\s+", " "))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
-
-
-def detect_language_col(text: Column) -> Column:
-    """Marker-word language vote, same spec as kernels.textutils.detect_language
-    (first 500 chars, most marker hits, tie → earlier language, default en)."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace(F.substring(text, 1, 500), r"\s+", " "))), " ")
-    best = F.lit("en")
-    best_hits = F.lit(-1)
-    for lang, markers in LANG_MARKERS:
-        arr = F.array([F.lit(m) for m in sorted(markers)])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        cond = hits > best_hits
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_hits = F.when(cond, hits).otherwise(best_hits)
-    return F.when(best_hits > 0, best).otherwise(F.lit("en"))
-
-
 def chunk_spans(extracted: DataFrame, max_tokens: int = MAX_TOKENS) -> DataFrame:
     """Ordered spans → chunks table (reference HybridChunker semantics,
     re-expressed as window ops — SURVEY.md §2.2 E11-E13).
@@ -318,13 +396,56 @@ def run_extraction(
     run_id: str = "run0",
     prior_lineage: DataFrame | None = None,
     repartition_to: int | None = None,
+    persist_blocks: bool = False,
+    mode: str = "narrow",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full pipeline → (extracted_spans, chunks, lineage)."""
+    """Full pipeline → (extracted_spans, chunks, lineage).
+
+    Modes (both produce IDENTICAL output — tested):
+    * ``narrow`` (default): whole-document kernel, ordering in-kernel,
+      ZERO shuffles for extraction+lineage. Extraction is embarrassingly
+      parallel per document; at 100 TB the shuffle the spread path pays on
+      every raw payload byte is the bottleneck, so narrow is the default.
+    * ``spread``: explode(spans) → optional round-robin ``repartition_to``
+      → per-span kernel → window re-ordering. Use when giant documents
+      (10^2-10^3× median) would straggle a narrow task — the north-rule
+      skew defuse: one doc's spans spread over many tasks.
+
+    ``persist_blocks=True`` caches the kernel output (MEMORY_AND_DISK) —
+    use it when materializing more than one of the three outputs in the
+    same job batch (e.g. the streaming sink), since extracted/lineage would
+    otherwise each re-run the extraction kernel.
+    """
     todo = resume_filter(docs, prior_lineage)
-    blocks = extract_blocks(explode_spans(todo), repartition_to=repartition_to)
-    failed = blocks.filter(F.col("error").isNotNull()).select("doc_id").distinct()
-    ok_blocks = blocks.join(failed, "doc_id", "left_anti")
-    extracted = order_spans(ok_blocks)
+    if mode == "narrow":
+        raw = extract_documents_narrow(todo)
+        if persist_blocks:
+            from pyspark import StorageLevel
+
+            raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        extracted = raw.filter(F.col("kind") != "__doc").select(
+            "doc_id", "order", "kind", "text", "media_ref", "page_num"
+        )
+        lineage = raw.filter(F.col("kind") == "__doc").select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "doc_id",
+            F.when(F.col("error").isNull(), "processed")
+            .otherwise("failed")
+            .alias("status"),
+            "error",
+            "n_spans_in",
+            F.col("order").cast("long").alias("n_blocks_out"),
+        )
+    elif mode == "spread":
+        blocks = extract_blocks(explode_spans(todo), repartition_to=repartition_to)
+        if persist_blocks:
+            from pyspark import StorageLevel
+
+            blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        extracted = order_spans(blocks)
+        lineage = lineage_from_blocks(blocks, run_id)
+    else:
+        raise ValueError(f"unknown mode {mode!r} (narrow|spread)")
     chunks = chunk_spans(extracted)
-    lineage = lineage_from_blocks(blocks, run_id)
     return extracted, chunks, lineage

@@ -32,10 +32,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow-UDF stages run a JVM task thread AND a Python worker per
+        # slot: at task.cpus=1 that is 2× CPU oversubscription and the
+        # Python-dominated extraction kernel thrashes (measured 24-77s vs
+        # 12-15s at local[32] on the sf0.1×64 corpus). task.cpus=2 sizes
+        # slots for the JVM+Python pair — the same setting a real cluster
+        # would ship via spark-submit --conf for this workload.
+        .config("spark.task.cpus", os.environ.get("SPARK_TASK_CPUS", "2"))
         # parquet scans: keep splits small enough that one giant doc row
         # cannot pin a whole multi-GB split to one task at 100 TB
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver IS the executor — size it for all concurrent
+        # tasks (32 tasks × shuffle+arrow buffers spill badly in 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")

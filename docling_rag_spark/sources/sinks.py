@@ -1,0 +1,51 @@
+"""Sinks with the reference's idempotent-append semantics.
+
+Reference: row-at-a-time INSERT ... ON CONFLICT (id) DO NOTHING
+(src/storage/postgres.py:98-124). On Iceberg this is
+``MERGE INTO chunks USING new ON chunks.id = new.id WHEN NOT MATCHED THEN
+INSERT`` or dedup-then-append; this sandbox has no Iceberg catalog jars, so
+the parquet fallback implements the same contract: appending the same batch
+twice leaves one copy per id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def idempotent_append(
+    spark: SparkSession, df: DataFrame, path: str, key: str = "id"
+) -> None:
+    """Append rows whose `key` is not already present (exactly-once per id).
+
+    At scale this is one anti-join against the target's key column —
+    the same plan Iceberg's MERGE NOT MATCHED executes — and the write is
+    atomic per job. On Iceberg, replace with ``df.writeTo(tbl).append()``
+    after the same anti-join, or a real MERGE.
+    """
+    new = df.dropDuplicates([key])
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        existing = spark.read.parquet(path).select(key).distinct()
+        new = new.join(existing, key, "left_anti")
+        new.write.mode("append").parquet(path)
+    else:
+        new.write.mode("overwrite").parquet(path)
+
+
+def truncate(path: str) -> None:
+    """Reference reset_collection (src/storage/postgres.py:364-372)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def delete_document(spark: SparkSession, path: str, doc_id: str) -> None:
+    """Reference remove_document DELETE WHERE doc_id (postgres.py:346-361).
+    Parquet has no row-level delete; rewrite-minus (Iceberg: DELETE FROM)."""
+    df = spark.read.parquet(path).filter(F.col("doc_id") != doc_id)
+    df.write.mode("overwrite").parquet(path + ".tmp")
+    truncate(path)
+    os.rename(path + ".tmp", path)

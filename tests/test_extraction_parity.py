@@ -102,3 +102,40 @@ def test_chunks_id_recipe_and_budget(pipeline_out):
     for rs in by_doc.values():
         idxs = sorted(x["chunk_index"] for x in rs)
         assert idxs == list(range(len(rs)))
+
+
+def test_narrow_equals_spread(spark, corpus_rows):
+    """Both execution modes produce identical (doc_id, order, kind, text,
+    media_ref) sequences — the zero-shuffle narrow kernel and the
+    explode→window spread path are interchangeable."""
+    from docling_rag_spark.pipeline import run_extraction
+
+    docs = spark.createDataFrame(
+        [(d, s) for d, s in corpus_rows[:40]], schema=DOCUMENTS_SPANS_SCHEMA
+    )
+    def seqs(mode, **kw):
+        ex, _, _ = run_extraction(docs, run_id=mode, mode=mode, **kw)
+        out = {}
+        for r in ex.collect():
+            out.setdefault(r["doc_id"], []).append(
+                (r["order"], r["kind"], r["text"], r["media_ref"], r["page_num"])
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert seqs("narrow") == seqs("spread", repartition_to=8)
+
+
+def test_narrow_lineage_matches_spread(spark, corpus_rows):
+    from docling_rag_spark.pipeline import run_extraction
+
+    docs = spark.createDataFrame(
+        [(d, s) for d, s in corpus_rows[:20]], schema=DOCUMENTS_SPANS_SCHEMA
+    )
+    def lin(mode):
+        _, _, lineage = run_extraction(docs, run_id="x", mode=mode)
+        return {
+            r["doc_id"]: (r["status"], r["n_spans_in"], r["n_blocks_out"])
+            for r in lineage.collect()
+        }
+
+    assert lin("narrow") == lin("spread")

@@ -1,0 +1,123 @@
+"""Operator correctness vs pure-Python recomputation + physical-plan shape."""
+
+from __future__ import annotations
+
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_rows(limit=60):
+    con = duckdb.connect()
+    return con.execute(
+        f"select doc_id, text from read_parquet('{SF}/documents.parquet') "
+        f"order by doc_id limit {limit}"
+    ).fetchall()
+
+
+# --- parity: Spark operators vs pure-Python spec ---------------------------
+def test_simhash_matches_python(spark):
+    from docling_rag_spark.operators.dedup import SIMHASH_BITS, simhash_docs
+    from docling_rag_spark.kernels.textutils import md5_hex, tokenize
+
+    def simhash16(text: str) -> int:
+        counts = [0] * SIMHASH_BITS
+        for t in [w.lower() for w in tokenize(text)]:
+            hv = int(md5_hex(t)[:4], 16)
+            for j in range(SIMHASH_BITS):
+                counts[j] += 1 if (hv >> j) & 1 else -1
+        return sum(1 << j for j in range(SIMHASH_BITS) if counts[j] > 0)
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_docs(spark, SF).collect()}
+    for doc_id, text in _docs_rows(40):
+        assert got[doc_id] == simhash16(text or ""), doc_id
+
+
+def test_minhash_sig_matches_python(spark):
+    from docling_rag_spark.kernels.textutils import md5_hex, shingles
+    from docling_rag_spark.operators.dedup import NUM_BANDS, _shingle_rows
+
+    sh = _shingle_rows(spark, SF)
+    sigs = (
+        sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band"), "shingle")
+        .select("doc_id", "band", F.md5(F.concat_ws("|", "band", "shingle")).alias("h"))
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+        .collect()
+    )
+    got = {(r["doc_id"], r["band"]): r["sig"] for r in sigs}
+    for doc_id, text in _docs_rows(20):
+        sh_py = shingles(text or "")
+        if not sh_py:
+            continue
+        for band in range(NUM_BANDS):
+            want = min(md5_hex(f"{band}|{g}") for g in sh_py)
+            assert got[(doc_id, band)] == want, (doc_id, band)
+
+
+def test_fingerprint_matches_python(spark):
+    from docling_rag_spark.kernels.textutils import rolling_fingerprint
+    from docling_rag_spark.operators.textstats import fingerprints
+
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprints(spark, SF).collect()}
+    for doc_id, text in _docs_rows(30):
+        assert got[doc_id] == rolling_fingerprint(text or "")
+
+
+def test_embed_deterministic_and_normalized(spark):
+    from docling_rag_spark.operators.embed import EMBED_DIM, embed_documents
+
+    a = embed_documents(spark, SF).orderBy("doc_id").limit(20).collect()
+    b = embed_documents(spark, SF).orderBy("doc_id").limit(20).collect()
+    assert a == b
+    for r in a:
+        assert r["dim"] == EMBED_DIM
+        assert abs(r["embedding_norm"] - 1.0) < 1e-3
+
+
+def test_media_features_deterministic(spark):
+    from docling_rag_spark.operators.multimodal import media_features
+
+    df = media_features(spark, SF)
+    rows = df.orderBy("doc_id").limit(10).collect()
+    assert all(r["decode_status"] == "fake-decode" for r in rows)
+    assert all(len(r["feat"]) == 8 for r in rows)
+    assert rows == media_features(spark, SF).orderBy("doc_id").limit(10).collect()
+
+
+# --- physical plan shape ----------------------------------------------------
+def test_knn_plan_is_take_ordered(spark):
+    from docling_rag_spark.operators.similarity import knn_bruteforce
+
+    plan = knn_bruteforce(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+
+
+def test_revenue_plan_broadcasts_dims(spark):
+    from docling_rag_spark.operators.retrieval import revenue_by_nation
+
+    plan = revenue_by_nation(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_pushdown_and_pruning(spark):
+    from docling_rag_spark.operators.retrieval import pricing_summary
+
+    plan = pricing_summary(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # filter reaches the scan; only needed columns read
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_resume_filter_is_anti_join(spark):
+    from docling_rag_spark.pipeline import resume_filter
+    from docling_rag_spark.schemas import DOCUMENTS_SPANS_SCHEMA, LINEAGE_SCHEMA
+
+    docs = spark.createDataFrame([], schema=DOCUMENTS_SPANS_SCHEMA)
+    lin = spark.createDataFrame([], schema=LINEAGE_SCHEMA)
+    plan = resume_filter(docs, lin)._jdf.queryExecution().analyzed().toString()
+    assert "LeftAnti" in plan
