@@ -388,3 +388,33 @@ ORACLES = {
     "revenue_by_nation": REVENUE_SQL,
     "chunk_documents": CHUNK_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# event-time tumbling window rollup (the batch shape of a streaming
+# watermark+window agg; reference has no streaming, SURVEY §2.6)
+# --------------------------------------------------------------------------
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+EVENTS_DAILY_SQL = """
+select date_trunc('day', ts) as day, event_type,
+       count(*) as n_events,
+       count(distinct user_id) as n_users,
+       round(sum(value::decimal(18,6)), 4)::double as sum_value
+from events
+group by 1, 2
+"""
+
+QUERIES["events_daily"] = events_daily
+ORACLES["events_daily"] = EVENTS_DAILY_SQL

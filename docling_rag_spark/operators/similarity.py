@@ -174,3 +174,139 @@ ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_lsh": KNN_LSH_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization by centroid cell, probe 1 cell
+# --------------------------------------------------------------------------
+IVF_CENTROIDS = 8
+IVF_TOP_K = 5
+
+
+def _cell_assignment(spark: SparkSession, sf_dir: str):
+    """Deterministic IVF: centroids = the IVF_CENTROIDS lowest vec_ids
+    (a k-means stand-in that both engines reproduce exactly); cell(v) =
+    argmax cosine(v, centroid), ties → lowest centroid id. At 100 TB the
+    cell id is the table's partition key and a query scans 1/K of the data
+    (nprobe=1)."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cid",
+        (
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cvec")))
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cid").alias("cell"))
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: score only the query's IVF cell (coarse-quantization pruning)."""
+    assigned = _cell_assignment(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    qcol = _lit_vec(q)
+    qcell = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select("cell").head()["cell"]
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
+    )
+    return (
+        assigned.filter((F.col("cell") == qcell) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(IVF_TOP_K)
+    )
+
+
+KNN_IVF_SQL = f"""
+with cents as (
+  select vec_id as cid, embedding as cvec from embeddings
+  where vec_id < {IVF_CENTROIDS}
+),
+assigned as (
+  select vec_id, label, embedding, cid as cell from (
+    select e.vec_id, e.label, e.embedding, c.cid,
+           row_number() over (
+             partition by e.vec_id
+             order by {_dot_sql('e.embedding', 'c.cvec')}
+                      / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                         * sqrt({_dot_sql('c.cvec', 'c.cvec')})) desc,
+                      c.cid asc
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+q as (
+  select a.embedding as qv, a.cell as qcell
+  from assigned a where a.vec_id = {QUERY_VEC_ID}
+)
+select vec_id, label,
+       round({_dot_sql('embedding', 'qv')}
+             / (sqrt({_dot_sql('embedding', 'embedding')})
+                * sqrt({_dot_sql('qv', 'qv')})), 6) as cosine_sim
+from assigned, q
+where cell = qcell and vec_id != {QUERY_VEC_ID}
+order by cosine_sim desc, vec_id asc
+limit {IVF_TOP_K}
+"""
+
+EMB_DEDUP_THRESHOLD = 0.35
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket-prefiltered: only pairs in
+    the same random-hyperplane bucket are scored (the linear-not-quadratic
+    path at scale), then exact cosine >= threshold."""
+    planes = _plane_weights()
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_col(F.col("embedding"), planes)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= EMB_DEDUP_THRESHOLD)
+    )
+
+
+EMB_DEDUP_SQL = f"""
+with emb as (
+  select vec_id, embedding, {_bucket_sql('embedding')} as bucket from embeddings
+)
+select a.vec_id as vec_a, b.vec_id as vec_b,
+       round({_dot_sql('a.embedding', 'b.embedding')}
+             / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+                * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) as cosine_sim
+from emb a join emb b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round({_dot_sql('a.embedding', 'b.embedding')}
+            / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+               * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)
+      >= {EMB_DEDUP_THRESHOLD}
+"""
+
+QUERIES["knn_ivf"] = knn_ivf
+QUERIES["dedup_embedding"] = embedding_near_dup
+ORACLES["knn_ivf"] = KNN_IVF_SQL
+ORACLES["dedup_embedding"] = EMB_DEDUP_SQL

@@ -1,0 +1,84 @@
+"""Cluster job entrypoint: spark-submit --py-files docling_rag_spark.zip \
+jobs/extract_job.py --input <table-or-path> --output <dir> [--resume] ...
+
+The north-rule deployment shape (BASELINE.json:14): the same code that runs
+in tests/bench ships unchanged to a cluster; parallelism and memory come
+from spark-submit --conf / --num-executors, not from code.
+
+Outputs under --output:
+  extracted_spans/   ordered (doc_id, order, kind, text, media_ref, page_num)
+  chunks/            reference-recipe chunks (md5 ids, 512-token budget)
+  lineage/           per-doc checkpoint rows (run_id, partition_id, status,
+                     error, n_spans_in, n_blocks_out)
+  doc_metadata/      per-doc rollup (doc_type, language, num_chunks, ...)
+
+--resume anti-joins the existing lineage (status=processed) so a killed run
+re-does only unfinished documents (E16, reference postgres.py:253-262).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet path (or Iceberg table via --format iceberg)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--mode", default="narrow", choices=["narrow", "spread"])
+    p.add_argument("--repartition-to", type=int, default=None,
+                   help="spread-mode round-robin width (skew defuse)")
+    p.add_argument("--resume", action="store_true",
+                   help="anti-join prior lineage at --output/lineage")
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from docling_rag_spark.pipeline import doc_metadata, run_extraction
+
+    # On a cluster, spark-submit provides master/conf; builder only names the app.
+    spark = SparkSession.builder.appName("docling-rag-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    if args.format == "iceberg":
+        docs = spark.read.format("iceberg").load(args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    lineage_dir = os.path.join(args.output, "lineage")
+    prior = None
+    if args.resume and os.path.exists(os.path.join(lineage_dir, "_SUCCESS")):
+        prior = spark.read.parquet(lineage_dir)
+
+    extracted, chunks, lineage = run_extraction(
+        docs,
+        run_id=run_id,
+        prior_lineage=prior,
+        mode=args.mode,
+        repartition_to=args.repartition_to,
+        persist_blocks=True,  # all four outputs materialize from one kernel pass
+    )
+    extracted.write.mode("append").parquet(os.path.join(args.output, "extracted_spans"))
+    chunks.write.mode("append").parquet(os.path.join(args.output, "chunks"))
+    lineage.write.mode("append").parquet(lineage_dir)
+    meta = doc_metadata(docs, extracted, chunks)
+    meta.write.mode("append").parquet(os.path.join(args.output, "doc_metadata"))
+
+    n = lineage.sparkSession.read.parquet(lineage_dir)
+    from pyspark.sql import functions as F
+
+    stats = {r["status"]: r["count"] for r in n.groupBy("status").count().collect()}
+    print(f"extract_job done run_id={run_id} lineage={stats}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Dump .explain('formatted') for the flagship operators into PLANS.md with
+commentary — the plan-quality evidence (pushdown, pruning, broadcast,
+TakeOrderedAndProject, codegen spans)."""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+COMMENT = {
+    "extract_narrow": (
+        "Narrow extraction: scan → single mapInPandas (ArrowEvalPython-free, "
+        "MapInPandas node), NO Exchange anywhere — extraction+lineage are "
+        "shuffle-free. The only wider stages in the full job are the chunker "
+        "groupBy/window downstream."
+    ),
+    "chunk_spans": (
+        "Chunker: one Exchange on doc_id feeds BOTH windows (running token "
+        "sum + chunk_index rank) and the groupBy — Catalyst reuses the "
+        "partitioning; whole-stage codegen covers the expression work."
+    ),
+    "knn_bruteforce": (
+        "Vector top-k: TakeOrderedAndProject = distributed partial top-k per "
+        "partition then merge — no global sort, no full shuffle. The scan "
+        "reads only (vec_id, label, embedding) [ReadSchema]."
+    ),
+    "pricing_summary": (
+        "TPC-H Q1 shape: PushedFilters on l_shipdate reach the parquet scan; "
+        "partial HashAggregate before the Exchange (map-side combine) then "
+        "final agg; ReadSchema prunes to the 7 needed columns."
+    ),
+    "revenue_by_nation": (
+        "Star join: both dims broadcast (BroadcastHashJoin ×2) — zero "
+        "shuffle of the fact side until the final 1-row-per-nation agg."
+    ),
+    "dedup_minhash_lsh": (
+        "MinHash LSH: shingle Generate is narrow; band signatures groupBy "
+        "shuffles only (doc_id, band, 32-char hash); the bucket self-join "
+        "joins on (band, sig) — the LSH prefilter that keeps pairs ~linear."
+    ),
+    "resume_filter": (
+        "Resume: LeftAnti hash join against the lineage checkpoint — with a "
+        "small done-set it broadcasts; at scale it's one shuffle on doc_id."
+    ),
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from docling_rag_spark.operators.dedup import minhash_lsh_pairs
+    from docling_rag_spark.operators.retrieval import pricing_summary, revenue_by_nation
+    from docling_rag_spark.operators.similarity import knn_bruteforce
+    from docling_rag_spark.pipeline import (
+        chunk_spans,
+        extract_documents_narrow,
+        resume_filter,
+        run_extraction,
+    )
+    from docling_rag_spark.session import get_spark
+    from docling_rag_spark.sources.corpus import corpus_for_sf
+
+    spark = get_spark(master="local[8]", app_name="plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+    corpus = corpus_for_sf(spark, sf)
+
+    plans = {}
+    plans["extract_narrow"] = extract_documents_narrow(corpus)
+    extracted, chunks, lineage = run_extraction(corpus, run_id="plans")
+    plans["chunk_spans"] = chunks
+    plans["knn_bruteforce"] = knn_bruteforce(spark, sf)
+    plans["pricing_summary"] = pricing_summary(spark, sf)
+    plans["revenue_by_nation"] = revenue_by_nation(spark, sf)
+    plans["dedup_minhash_lsh"] = minhash_lsh_pairs(spark, sf)
+    plans["resume_filter"] = resume_filter(corpus, lineage)
+
+    out = ["# PLANS — physical plans of the flagship operators",
+           "",
+           "`df.explain('formatted')` captures (sf0.001, local[8]); asserts in",
+           "tests/test_operators.py keep the key properties from regressing.",
+           ""]
+    for name, df in plans.items():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
+        # keep the operator tree + the interesting scan details, drop the
+        # long per-node field dumps
+        tree, _, details = txt.partition("\n\n")
+        keep = [l for l in details.splitlines()
+                if any(k in l for k in ("PushedFilters", "ReadSchema", "Location")) ]
+        out += [f"## {name}", "", COMMENT.get(name, ""), "", "```",
+                tree.strip()[:4000], *(keep[:8]), "```", ""]
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
