@@ -53,6 +53,8 @@ STOPWORD_MIN_CHARS = 10
 
 
 def _unescape(s: str) -> str:
+    if "&" not in s:  # hot path: most fragments carry no entities
+        return s
     for k, v in _ENTITIES.items():
         s = s.replace(k, v)
     return s

@@ -418,3 +418,54 @@ group by 1, 2
 
 QUERIES["events_daily"] = events_daily
 ORACLES["events_daily"] = EVENTS_DAILY_SQL
+
+
+# --------------------------------------------------------------------------
+# U2: hybrid with vector-only fallback (reference src/retrieval/search.py:
+# 26-46 — if fulltext returns 0 rows, skip fusion, return pure vector top-k)
+# --------------------------------------------------------------------------
+def hybrid_search(
+    spark: SparkSession, sf_dir: str, terms: list[str], top_k: int = TOP_K
+) -> DataFrame:
+    """General entry: RRF fusion when fulltext hits exist, else vector-only.
+    The branch is a plan-build-time decision (one cheap count of the tiny
+    over-fetched fulltext side), exactly like the reference's Python `if`."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qcol = _lit_vec(q)
+    fetch = top_k * OVERFETCH
+    sim = F.round(
+        _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
+    )
+    ft = (
+        docs.select("doc_id", term_frequency_col(F.col("text"), terms).alias("s"))
+        .filter(F.col("s") > 0)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(fetch)
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(fetch)
+    )
+    if ft.limit(1).count() == 0:  # U2 fallback
+        return (
+            vec.orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(top_k)
+            .select("doc_id", F.col("s").alias("score"))
+        )
+    rank_w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    fused = (
+        ft.withColumn("rank", F.row_number().over(rank_w))
+        .select("doc_id", "rank")
+        .unionAll(
+            vec.withColumn("rank", F.row_number().over(rank_w)).select("doc_id", "rank")
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(1.0 / (RRF_K + F.col("rank"))), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+    return fused

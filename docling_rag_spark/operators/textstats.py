@@ -118,3 +118,35 @@ ORACLES = {
     "text_langid": LANGID_SQL,
     # text_fingerprint: rows-only (non-SQL-expressible modular arithmetic)
 }
+
+
+# --------------------------------------------------------------------------
+# BPE-ish subword token count: word pieces + standalone punctuation
+# (prompt-mandated "token counting (whitespace + a BPE-ish regex)")
+# --------------------------------------------------------------------------
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both counts per doc: whitespace tokens and regex subword tokens
+    (\\w{1,4} chunks + single non-space punctuation — a deterministic
+    BPE-budget proxy: every 4 word chars start a new piece, like a
+    fixed-fanout merge table)."""
+    docs = table(spark, sf_dir, "documents")
+    t = tidy_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\w{1,4}|[^\w\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+TOKEN_BPE_SQL = f"""
+select doc_id,
+       {dsql.token_count_sql('text')} as n_ws_tokens,
+       len(regexp_extract_all({dsql.tidy_sql('text')}, '\\w{{1,4}}|[^\\w\\s]'))
+         as n_bpe_tokens
+from documents
+"""
+
+QUERIES["text_token_bpe"] = token_counts_bpe
+ORACLES["text_token_bpe"] = TOKEN_BPE_SQL

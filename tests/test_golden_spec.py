@@ -1,0 +1,105 @@
+"""Frozen-spec tests: compare live kernels against the checked-in golden
+snapshot (tests/golden/extraction_golden.json). The kernel↔oracle parity
+tests share code, so ONLY this snapshot catches accidental spec drift.
+Regenerate deliberately with `python tests/make_golden.py`."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_rag_spark.kernels.extract import extract_document_oracle, extract_span
+from docling_rag_spark.kernels.html_extract import extract_html_blocks
+from docling_rag_spark.kernels.pdf_extract import extract_pdf_blocks, reading_order_key
+from docling_rag_spark.kernels.textutils import tidy, token_count
+
+GOLDEN = json.loads(
+    (Path(__file__).parent / "golden" / "extraction_golden.json").read_text()
+)
+
+
+def _docs():
+    import tests.make_golden as mg
+
+    return mg.handcrafted_docs()
+
+
+def test_oracle_matches_frozen_golden():
+    docs = _docs()
+    assert set(docs) == set(GOLDEN)
+    for name, spans in docs.items():
+        got = [
+            {"order": o, "kind": k, "text": t, "media_ref": r, "page_num": p}
+            for (o, k, t, r, p) in extract_document_oracle(spans)
+        ]
+        assert got == GOLDEN[name], f"spec drift in {name}"
+
+
+def test_spark_kernel_matches_frozen_golden(spark):
+    from docling_rag_spark.pipeline import run_extraction
+    from docling_rag_spark.schemas import DOCUMENTS_SPANS_SCHEMA
+
+    docs = _docs()
+    df = spark.createDataFrame(list(docs.items()), schema=DOCUMENTS_SPANS_SCHEMA)
+    extracted, _, _ = run_extraction(df, run_id="golden")
+    got: dict[str, list] = {}
+    for r in extracted.collect():
+        got.setdefault(r["doc_id"], []).append(
+            {"order": r["order"], "kind": r["kind"], "text": r["text"],
+             "media_ref": r["media_ref"], "page_num": r["page_num"]}
+        )
+    for name in docs:
+        assert sorted(got[name], key=lambda s: s["order"]) == GOLDEN[name], name
+
+
+# --- property-based robustness (hypothesis) --------------------------------
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_html_extractor_total(s):
+    """Never crashes on arbitrary input; outputs are tidied, non-boilerplate."""
+    for kind, text, ref in extract_html_blocks(s):
+        assert kind in ("text", "table", "image")
+        assert text == tidy(text)
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_extract_span_total(s):
+    for kind in ("text", "html", "pdf", "image", "zzz"):
+        out = extract_span(kind, s, None)
+        for k, t, r, p in out:
+            assert isinstance(k, str)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # page
+            st.integers(0, 611),  # x0
+            st.integers(0, 800),  # y0
+            st.sampled_from(["text", "table", "figure", "rastertext"]),
+            st.text(alphabet="ab ", min_size=1, max_size=10),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_minipdf_reading_order_is_total_order(blocks):
+    payload = "%MINIPDF 1\n" + "\n".join(
+        f"block {p} {x} {y} {k} - {t}".replace("\n", " ")
+        for (p, x, y, k, t) in blocks
+    )
+    parsed = extract_pdf_blocks(payload)
+    # pages must be non-decreasing in output (reading order is page-major)
+    pages = [p for (_, _, _, p) in parsed]
+    assert pages == sorted(pages)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_token_count_consistent(s):
+    assert token_count(s) == len([t for t in tidy(s).split(" ") if t])

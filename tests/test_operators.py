@@ -121,3 +121,19 @@ def test_resume_filter_is_anti_join(spark):
     lin = spark.createDataFrame([], schema=LINEAGE_SCHEMA)
     plan = resume_filter(docs, lin)._jdf.queryExecution().analyzed().toString()
     assert "LeftAnti" in plan
+
+
+def test_hybrid_fallback_to_vector_only(spark):
+    from docling_rag_spark.operators.retrieval import hybrid_search, TOP_K
+
+    # nonsense terms → fulltext empty → vector-only ranking (U2,
+    # reference src/retrieval/search.py:26-46)
+    out = hybrid_search(spark, SF, ["zzzznope", "qqqq"]).collect()
+    assert len(out) == TOP_K
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= abs(s) <= 1.0 for s in scores)  # cosine, not rrf
+    # real terms → rrf fusion scores (~1/61 max per engine, sum ≤ 2/61)
+    fused = hybrid_search(spark, SF, ["spark", "window", "join"]).collect()
+    assert len(fused) == TOP_K
+    assert all(0.0 < r["score"] < 0.04 for r in fused)
