@@ -24,6 +24,7 @@ from docling_rag_spark.operators import (  # noqa: E402
     multimodal,
     retrieval,
     similarity,
+    temporal,
     textstats,
 )
 
@@ -33,6 +34,7 @@ _MODULES = [
     similarity,
     textstats,
     retrieval,
+    temporal,
     embed,
     multimodal,
 ]

@@ -16,7 +16,7 @@ north rule's "Iceberg table of interleaved documents" input model.
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[<n>] (default 32)
-  BENCH_CORPUS_MULT    corpus replication factor (default 4 — the sandbox
+  BENCH_CORPUS_MULT    corpus replication factor (default 16 — the sandbox
                        documents table is small; replication makes the
                        extraction number a throughput, not an overhead, test)
 """
@@ -73,7 +73,7 @@ def materialize_bench_corpus(spark, sf_dir: str, mult: int, cache_root: str) -> 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    mult = int(os.environ.get("BENCH_CORPUS_MULT", "4"))
+    mult = int(os.environ.get("BENCH_CORPUS_MULT", "16"))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark(master=f"local[{cpus}]", app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,168 @@
+"""Temporal operators Spark lacks natively: as-of join and sessionization.
+
+The reference has neither (SURVEY.md §2.4: "no as-of/range/interval joins")
+— these are the prompt-mandated custom-operator showcases, built as
+compositions of existing DataFrame ops (option (a) of the custom-operator
+ladder), with exact DuckDB oracles (ASOF JOIN / window SQL).
+
+Scale notes:
+- as-of: the union-tag trick turns a range join into ONE shuffle on the key
+  + a running last_value window — no O(n·m) range explosion, no skew beyond
+  the key distribution (AQE handles that).
+- sessionize: lag + cumulative-sum windows over (user_id, ts) — one shuffle,
+  all codegen. The streaming variant (applyInPandasWithState) lives in
+  streaming/sessionize.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import table
+
+SESSION_GAP_MIN = 30
+
+
+def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each order: the customer's latest event with ts <= o_orderdate
+    (users keyed by o_custkey % 100 = user_id — the sandbox tables share no
+    real key, so the mapping is part of the frozen query spec).
+
+    Implementation: tag both sides, union on (key, time), then
+    last_value(event over rows-unbounded-preceding) per key ordered by
+    (time, is_order) — each order row reads the running latest event.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+    )
+    events = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("t"), "event_id", "event_type"
+    )
+    tagged = events.select(
+        "user_id", "t", F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id", "event_type",
+    ).unionByName(
+        orders.select(
+            "user_id", "t", F.lit(1).alias("is_order"), "o_orderkey",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+        )
+    )
+    # events sort before orders at identical t (is_order asc) → "<=" semantics;
+    # among simultaneous events the larger event_id wins (deterministic).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.withColumn(
+        "last_event_id", F.last("event_id", ignorenulls=True).over(w)
+    ).withColumn("last_event_type", F.last("event_type", ignorenulls=True).over(w))
+    return (
+        joined.filter(F.col("is_order") == 1)
+        .select(
+            "o_orderkey",
+            "user_id",
+            F.col("last_event_id").alias("event_id"),
+            F.col("last_event_type").alias("event_type"),
+        )
+    )
+
+
+# DuckDB oracle: same union-window formulation (portable, no ASOF-JOIN
+# tie-break ambiguity — the spec above IS the semantics)
+ASOF_SQL = """
+with tagged as (
+  select user_id, ts as t, 0 as is_order,
+         null::bigint as o_orderkey, event_id, event_type
+  from events
+  union all
+  select o_custkey % 100 as user_id, o_orderdate as t, 1 as is_order,
+         o_orderkey, null::bigint as event_id, null::varchar as event_type
+  from orders
+),
+run as (
+  select *,
+         last_value(event_id ignore nulls) over (
+           partition by user_id order by t, is_order, event_id
+           rows between unbounded preceding and current row) as last_event_id,
+         last_value(event_type ignore nulls) over (
+           partition by user_id order by t, is_order, event_id
+           rows between unbounded preceding and current row) as last_event_type
+  from tagged
+)
+select o_orderkey, user_id, last_event_id as event_id,
+       last_event_type as event_type
+from run where is_order = 1
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: a new session starts when the user's inter-event
+    gap exceeds SESSION_GAP_MIN minutes. session_id = cumulative count of
+    session starts per user; output one row per session with bounds/size."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (
+                (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+                > SESSION_GAP_MIN * 60
+            )
+        ).cast("int"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+with marked as (
+  select *,
+         case when lag(ts) over (partition by user_id order by ts, event_id)
+                   is null
+              or epoch(ts) - epoch(lag(ts) over (partition by user_id
+                                                 order by ts, event_id))
+                 > {SESSION_GAP_MIN * 60}
+              then 1 else 0 end as new_session
+  from events
+),
+sess as (
+  select *,
+         sum(new_session) over (partition by user_id order by ts, event_id
+                                rows between unbounded preceding
+                                and current row) as session_id
+  from marked
+)
+select user_id, session_id,
+       min(ts) as session_start, max(ts) as session_end,
+       count(*) as n_events,
+       round(sum(value::decimal(18,6)), 4)::double as sum_value
+from sess group by user_id, session_id
+"""
+
+QUERIES = {
+    "asof_join": asof_join_orders_events,
+    "sessionize_events": sessionize_events,
+}
+ORACLES = {
+    "asof_join": ASOF_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+}

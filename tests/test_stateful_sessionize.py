@@ -1,0 +1,110 @@
+"""Stateful streaming sessionization: state carries across micro-batches AND
+query restarts; closed sessions match the batch operator exactly."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from docling_rag_spark.streaming.sessionize import sessionize_stream
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+T0 = dt.datetime(2024, 3, 1, 9, 0, 0, 123456)
+
+
+def _mk_events():
+    """Two users; gaps engineered around the 30-min threshold. Session
+    boundaries by construction:
+      user 1: [e1,e2,e3] (gaps 5m, 29m) | [e4] (gap 31m) | [e5,e6] (gap 2m)
+      user 2: [e7] | [e8,e9] (gap 45m then 1m)
+    The file split lands INSIDE user 1's third session (e5 in file A, e6 in
+    file B) — that session must survive the restart boundary un-split.
+    """
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, T0, 1, "a", 1.0, None),
+        (2, T0 + 5 * m, 1, "a", 2.0, None),
+        (3, T0 + 34 * m, 1, "b", 3.0, None),
+        (4, T0 + 65 * m, 1, "a", 4.0, None),          # gap 31m → new session
+        (5, T0 + 120 * m, 1, "c", 5.0, None),         # gap 55m → new session
+        (7, T0, 2, "a", 7.0, None),
+        (8, T0 + 45 * m, 2, "a", 8.0, None),          # gap 45m → new session
+    ]
+    rows_b = [
+        (6, T0 + 122 * m, 1, "c", 6.0, None),         # continues session 3
+        (9, T0 + 46 * m, 2, "b", 9.0, None),          # continues user-2 s2
+        (10, T0 + 200 * m, 1, "d", 10.0, None),       # closes user-1 s3
+        (11, T0 + 200 * m, 2, "d", 11.0, None),       # closes user-2 s2
+    ]
+    return rows, rows_b
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    rows_a, rows_b = _mk_events()
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows_a, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    sessionize_stream(spark, inp, out)  # run 1
+    spark.createDataFrame(rows_b, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    sessionize_stream(spark, inp, out)  # run 2 — a genuine query restart
+
+    got = spark.read.parquet(os.path.join(out, "sessions"))
+    streamed = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in got.collect()
+    }
+    m = dt.timedelta(minutes=1)
+    expected_closed = {
+        (1, T0, T0 + 34 * m, 3, 6.0),                      # s1 user1
+        (1, T0 + 65 * m, T0 + 65 * m, 1, 4.0),             # s2 user1
+        (1, T0 + 120 * m, T0 + 122 * m, 2, 11.0),          # s3 spans restart
+        (2, T0, T0, 1, 7.0),                               # s1 user2
+        (2, T0 + 45 * m, T0 + 46 * m, 2, 17.0),            # s2 spans restart
+    }
+    assert streamed == expected_closed
+    assert all(r["closed_by"] == "gap" for r in got.collect())
+
+    # cross-check against the batch spec on the same events: closed
+    # streamed sessions ⊆ batch sessions; the open tails are the remainder
+    full = spark.createDataFrame(rows_a + rows_b, schema=EVENTS_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = full.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800)
+        ).cast("int"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    batch_rows = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .collect()
+    )
+    batch_set = {(r["user_id"], r["s"], r["e"], r["n"]) for r in batch_rows}
+    streamed_sen = {(u, s, e, n) for (u, s, e, n, _v) in streamed}
+    assert streamed_sen <= batch_set
+    # exactly the two open tails (one per user, at T0+200m) remain un-emitted
+    assert len(batch_set - streamed_sen) == 2
