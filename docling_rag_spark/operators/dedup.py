@@ -255,3 +255,103 @@ ORACLES = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": SIMHASH_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering: connected components over the LSH candidate graph
+# (iterative min-label propagation; the canonical-doc-per-cluster step of a
+# training-data dedup pipeline)
+# --------------------------------------------------------------------------
+CC_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) where cluster_id = min doc_id reachable through
+    the minhash-LSH candidate-pair graph (docs with no candidate pair are
+    their own singleton cluster).
+
+    Spark: iterative label propagation — labels(d) = min(label(d),
+    min(label(n) for neighbors n)), looped to fixpoint with a driver-side
+    convergence check. Each iteration is one broadcast/shuffle join; at
+    10^12 docs this is the standard big-graph CC recipe (alternating
+    small-star/large-star would cut iterations; candidate graphs from LSH
+    are near-disjoint cliques, so plain propagation converges in ~2 steps).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # undirected edge list (both directions) — propagation is symmetric.
+    # localCheckpoint(eager) TRUNCATES lineage each step: an iterative loop
+    # built on cache() alone re-derives ever-longer plans (and a cached
+    # parent unpersisted before its child materializes recomputes the whole
+    # chain) — the standard Spark iterative-algorithm trap.
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        # pointer jumping: also adopt label(label(d)) — halves the remaining
+        # path to the component min each round (O(log diameter) convergence;
+        # plain neighbor-pull alone is O(diameter) and chain-shaped LSH
+        # components can exceed any fixed iteration cap)
+        jump = labels.select(
+            F.col("doc_id").alias("j_key"), F.col("cluster_id").alias("j_label")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .join(jump, F.col("cluster_id") == F.col("j_key"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("neigh_min", F.col("cluster_id")),
+                    F.coalesce("j_label", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# DuckDB oracle: recursive CTE reachability → min reachable doc per doc.
+# The LSH candidate graph at test scale is small; recursion carries
+# (doc_id, reach) pairs with UNION dedup, so it terminates.
+DEDUP_CLUSTERS_SQL = f"""
+with pairs as (
+  {MINHASH_LSH_SQL.strip().rstrip(';')}
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union all
+  select doc_b as a, doc_a as b from pairs
+),
+recursive_reach as (
+  with recursive reach(doc_id, r) as (
+    select doc_id, doc_id as r from documents
+    union
+    select reach.doc_id, edges.b as r
+    from reach join edges on edges.a = reach.r
+  )
+  select doc_id, min(r) as cluster_id from reach group by doc_id
+)
+select doc_id, cluster_id from recursive_reach
+"""
+
+QUERIES["dedup_clusters"] = dedup_clusters
+ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL

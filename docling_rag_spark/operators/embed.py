@@ -91,3 +91,10 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"embed_documents": embed_documents}
 ORACLES: dict[str, str] = {}  # rows-only: vector kernel, not SQL-expressible
+
+
+def embed_chunks(chunks: DataFrame) -> DataFrame:
+    """Attach embeddings to a chunks DataFrame (the reference's embed stage
+    between chunking and the vector sink, src/ingestion/pipeline.py:39-44).
+    Arrow-batched; per-executor model singleton."""
+    return chunks.withColumn("embedding", embed_udf()(F.col("text")))

@@ -37,6 +37,8 @@ def main() -> None:
     p.add_argument("--resume", action="store_true",
                    help="anti-join prior lineage at --output/lineage")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--embed", action="store_true",
+                   help="attach embeddings to chunks (E14 stage)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,6 +69,10 @@ def main() -> None:
         persist_blocks=True,  # all four outputs materialize from one kernel pass
     )
     extracted.write.mode("append").parquet(os.path.join(args.output, "extracted_spans"))
+    if args.embed:
+        from docling_rag_spark.operators.embed import embed_chunks
+
+        chunks = embed_chunks(chunks)
     chunks.write.mode("append").parquet(os.path.join(args.output, "chunks"))
     lineage.write.mode("append").parquet(lineage_dir)
     meta = doc_metadata(docs, extracted, chunks)
