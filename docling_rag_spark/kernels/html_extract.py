@@ -74,6 +74,9 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, str | None]]:
 
     def flush() -> None:
         nonlocal buf, link_chars, block_boiler, heading
+        if not buf:  # hot path: most block-tag boundaries have no text
+            block_boiler = boiler_depth > 0
+            return
         text = tidy(_unescape("".join(buf)))
         lc = link_chars
         is_head = heading is not None
@@ -108,7 +111,8 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, str | None]]:
                 buf.append(raw)
                 if link_depth > 0:
                     link_chars += len(tidy(_unescape(raw)))
-        closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3)
+        g1, g2, attrs = m.group(1, 2, 3)
+        closing, tag = g1 == "/", g2.lower()
 
         if tag == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1

@@ -19,6 +19,8 @@ _CRLF_IMG_RE = re.compile(r"[\r\n]+|<!-- image -->")
 def tidy(s: str) -> str:
     """Whitespace/image-marker cleanup, exact reference recipe
     (reference src/ingestion/document.py:113-114)."""
+    if not s:
+        return ""
     return _WS_RE.sub(" ", _CRLF_IMG_RE.sub(" ", s)).strip()
 
 

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from .functions.text import detect_language_col, token_count_col
 from .kernels.extract import extract_span
-from .schemas import BLOCKS_SCHEMA
+
 
 if TYPE_CHECKING:
     import pandas as pd
