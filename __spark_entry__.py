@@ -26,6 +26,7 @@ from docling_rag_spark.operators import (  # noqa: E402
     similarity,
     temporal,
     textstats,
+    training_set,
 )
 
 _MODULES = [
@@ -35,6 +36,7 @@ _MODULES = [
     textstats,
     retrieval,
     temporal,
+    training_set,
     embed,
     multimodal,
 ]

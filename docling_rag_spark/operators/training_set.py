@@ -1,0 +1,73 @@
+"""Training-set selection: the composed pipeline this engine exists for.
+
+One declarative plan chaining the training-data operators: quality gates
+(token window + stopword floor) ∧ language filter (predicted en) ∧ near-dup
+removal (drop every doc that is the higher id in a strong MinHash-LSH
+candidate pair — keep-first-canonical, the standard crawl-dedup rule).
+At 100 TB each stage is the already-benchmarked operator; composition adds
+one anti-join (broadcast-able: the drop-set is ~the dup rate × corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import duckdb_sql as dsql
+from ..functions.text import detect_language_col, stopword_ratio_col, token_count_col
+from .common import table
+from .dedup import MINHASH_LSH_SQL, minhash_lsh_pairs
+
+MIN_TOKENS = 20
+MAX_TOKENS_DOC = 200
+MIN_STOPWORD_RATIO = 0.02
+STRONG_BANDS = 2  # pair strength for the drop rule
+
+
+def training_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
+        detect_language_col(F.col("text")).alias("pred_lang"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS_DOC)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+        & (F.col("pred_lang") == "en")
+    )
+    dups = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("n_shared_bands") >= STRONG_BANDS)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(dups, "doc_id", "left_anti")
+
+
+TRAINING_SUBSET_SQL = f"""
+with pairs as (
+  {MINHASH_LSH_SQL.strip()}
+),
+dups as (
+  select distinct doc_b as doc_id from pairs where n_shared_bands >= {STRONG_BANDS}
+),
+scored as (
+  select doc_id,
+         {dsql.token_count_sql('text')} as n_tokens,
+         round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio,
+         {dsql.detect_language_sql('text')} as pred_lang
+  from documents
+)
+select s.doc_id, s.n_tokens, s.stopword_ratio, s.pred_lang
+from scored s
+where s.n_tokens between {MIN_TOKENS} and {MAX_TOKENS_DOC}
+  and s.stopword_ratio >= {MIN_STOPWORD_RATIO}
+  and s.pred_lang = 'en'
+  and s.doc_id not in (select doc_id from dups)
+"""
+
+QUERIES = {"training_subset": training_subset}
+ORACLES = {"training_subset": TRAINING_SUBSET_SQL}
