@@ -51,7 +51,14 @@ def main() -> None:
 
     run_id = args.run_id or f"run-{int(time.time())}"
     if args.format == "iceberg":
-        docs = spark.read.format("iceberg").load(args.input)
+        try:
+            docs = spark.read.format("iceberg").load(args.input)
+        except Exception as ex:  # no iceberg-spark-runtime jar in sandbox
+            raise SystemExit(
+                "--format iceberg needs iceberg-spark-runtime on the cluster "
+                "classpath (spark-submit --packages org.apache.iceberg:"
+                f"iceberg-spark-runtime-4.0_2.13:<ver>): {ex}"
+            ) from ex
     else:
         docs = spark.read.parquet(args.input)
 
