@@ -27,6 +27,7 @@ from docling_rag_spark.operators import (  # noqa: E402
     temporal,
     textstats,
     training_set,
+    visibility,
 )
 
 _MODULES = [
@@ -37,6 +38,7 @@ _MODULES = [
     retrieval,
     temporal,
     training_set,
+    visibility,
     embed,
     multimodal,
 ]
