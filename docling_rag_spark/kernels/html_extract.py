@@ -15,7 +15,8 @@ Spec
    block-level tag (``p h1..h6 li blockquote pre div td th tr table article
    section main body html ul ol br title``).
 3. ``<table>…</table>`` (outside boilerplate) is captured wholesale: cell
-   texts joined with ``" | "`` → one block of kind ``table``.
+   texts joined with ``" | "`` → one block of kind ``table``; boilerplate
+   elements nested inside the table contribute no cell text.
 4. ``<img src=X>`` outside boilerplate → block kind ``image``, empty text,
    ``media_ref = X`` (the reference preserves inline image markers,
    src/ingestion/document.py:113-114, and media MIME types :39-48).
@@ -104,9 +105,10 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, str | None]]:
         pos = m.end()
         if raw:
             if in_table:
-                t = tidy(_unescape(raw))
-                if t:
-                    table_cells.append(t)
+                if boiler_depth == 0:  # script/style/nav inside a table is
+                    t = tidy(_unescape(raw))  # boilerplate, not cell text
+                    if t:
+                        table_cells.append(t)
             else:
                 buf.append(raw)
                 if link_depth > 0:
@@ -138,12 +140,15 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, str | None]]:
                     table_cells = []
             block_boiler = boiler_depth > 0
             continue
-        if in_table:
-            continue
         if tag in BOILER_TAGS:
-            flush()
+            # handled even inside tables, so boiler depth stays balanced and
+            # <script>/<nav> bodies never leak into table cells
+            if not in_table:
+                flush()
             boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
             block_boiler = boiler_depth > 0
+            continue
+        if in_table:
             continue
         if tag in BLOCK_TAGS:
             flush()

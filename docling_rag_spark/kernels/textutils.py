@@ -12,7 +12,11 @@ from __future__ import annotations
 import hashlib
 import re
 
-_WS_RE = re.compile(r"\s+")
+# re.ASCII: Python's default \s is Unicode-aware but Java regex (Spark
+# regexp_replace) and RE2 (DuckDB) use ASCII [ \t\n\x0B\f\r] — the frozen
+# spec is the ASCII set so all three engines tokenize identically (a
+# non-breaking space is NOT a separator anywhere).
+_WS_RE = re.compile(r"\s+", re.ASCII)
 _CRLF_IMG_RE = re.compile(r"[\r\n]+|<!-- image -->")
 
 

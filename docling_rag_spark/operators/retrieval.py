@@ -62,50 +62,11 @@ limit {TOP_K}
 # engine, rrf += 1/(60+rank), over-fetch 3×top_k, final top_k)
 # --------------------------------------------------------------------------
 def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    emb = table(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir)
-    qcol = _lit_vec(q)
-    fetch = TOP_K * OVERFETCH
-
-    ft = (
-        docs.select(
-            "doc_id", term_frequency_col(F.col("text"), FT_TERMS).alias("s")
-        )
-        .filter(F.col("s") > 0)
-        .orderBy(F.desc("s"), F.asc("doc_id"))
-        .limit(fetch)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id"))),
-        )
+    """Fixed-terms fusion entry for the driver contract — a thin wrapper
+    over hybrid_search (single fusion implementation, no drift)."""
+    return hybrid_search(
+        spark, sf_dir, FT_TERMS, allow_fallback=False, score_col="rrf_score"
     )
-    vec = (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                _dot(F.col("embedding"), qcol)
-                / (_norm(F.col("embedding")) * _norm(qcol)),
-                6,
-            ).alias("s"),
-        )
-        .orderBy(F.desc("s"), F.asc("doc_id"))
-        .limit(fetch)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id"))),
-        )
-    )
-    fused = (
-        ft.select("doc_id", "rank")
-        .unionAll(vec.select("doc_id", "rank"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(1.0 / (RRF_K + F.col("rank"))), 6).alias("rrf_score"))
-        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-        .limit(TOP_K)
-    )
-    return fused
 
 
 HYBRID_RRF_SQL = f"""
@@ -425,9 +386,16 @@ ORACLES["events_daily"] = EVENTS_DAILY_SQL
 # 26-46 — if fulltext returns 0 rows, skip fusion, return pure vector top-k)
 # --------------------------------------------------------------------------
 def hybrid_search(
-    spark: SparkSession, sf_dir: str, terms: list[str], top_k: int = TOP_K
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    top_k: int = TOP_K,
+    allow_fallback: bool = True,
+    score_col: str = "score",
 ) -> DataFrame:
-    """General entry: RRF fusion when fulltext hits exist, else vector-only.
+    """General entry: RRF fusion when fulltext hits exist, else vector-only
+    (``allow_fallback=False`` skips the branch — and its count job — for
+    callers that always fuse, e.g. the driver-contract hybrid_rrf).
     The branch is a plan-build-time decision (one cheap count of the tiny
     over-fetched fulltext side), exactly like the reference's Python `if`."""
     docs = table(spark, sf_dir, "documents")
@@ -450,11 +418,11 @@ def hybrid_search(
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(fetch)
     )
-    if ft.limit(1).count() == 0:  # U2 fallback
+    if allow_fallback and ft.limit(1).count() == 0:  # U2 fallback
         return (
             vec.orderBy(F.desc("s"), F.asc("doc_id"))
             .limit(top_k)
-            .select("doc_id", F.col("s").alias("score"))
+            .select("doc_id", F.col("s").alias(score_col))
         )
     rank_w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
     fused = (
@@ -464,8 +432,8 @@ def hybrid_search(
             vec.withColumn("rank", F.row_number().over(rank_w)).select("doc_id", "rank")
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum(1.0 / (RRF_K + F.col("rank"))), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .agg(F.round(F.sum(1.0 / (RRF_K + F.col("rank"))), 6).alias(score_col))
+        .orderBy(F.desc(score_col), F.asc("doc_id"))
         .limit(top_k)
     )
     return fused

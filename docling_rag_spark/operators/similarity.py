@@ -214,8 +214,13 @@ def _cell_assignment(spark: SparkSession, sf_dir: str):
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: score only the query's IVF cell (coarse-quantization pruning)."""
-    assigned = _cell_assignment(spark, sf_dir)
+    """ANN: score only the query's IVF cell (coarse-quantization pruning).
+
+    The assignment is cached: the qcell lookup is an eager action and the
+    returned plan references the assignment again — uncached, the
+    crossJoin+window stage (the expensive part) would execute twice.
+    """
+    assigned = _cell_assignment(spark, sf_dir).cache()
     q = _query_vec(spark, sf_dir)
     qcol = _lit_vec(q)
     qcell = (

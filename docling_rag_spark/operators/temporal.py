@@ -107,13 +107,21 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session starts per user; output one row per session with bounds/size."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap in MICROSECONDS: unix_timestamp() truncates to seconds, which
+    # would diverge from the DuckDB oracle (fractional epoch) and the
+    # streaming operator (µs state) on sub-second-precision timestamps
     marked = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
         (
             F.col("prev_ts").isNull()
             | (
-                (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
-                > SESSION_GAP_MIN * 60
+                # NTZ→timestamp cast: unix_micros rejects TIMESTAMP_NTZ; the
+                # session-TZ shift cancels in the difference
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                )
+                > SESSION_GAP_MIN * 60 * 1_000_000
             )
         ).cast("int"),
     )
@@ -138,9 +146,9 @@ with marked as (
   select *,
          case when lag(ts) over (partition by user_id order by ts, event_id)
                    is null
-              or epoch(ts) - epoch(lag(ts) over (partition by user_id
-                                                 order by ts, event_id))
-                 > {SESSION_GAP_MIN * 60}
+              or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id
+                                                       order by ts, event_id))
+                 > {SESSION_GAP_MIN * 60 * 1_000_000}
               then 1 else 0 end as new_session
   from events
 ),

@@ -56,7 +56,10 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     """(doc_id, spans[]) → one row per span, carrying n_spans_in for lineage."""
     return docs.select(
         "doc_id",
-        F.size("spans").alias("n_spans_in"),
+        # greatest(...,0): size(NULL)=NULL and legacy -1 — narrow reports 0
+        F.greatest(F.coalesce(F.size("spans"), F.lit(0)), F.lit(0)).alias(
+            "n_spans_in"
+        ),
         F.posexplode_outer("spans").alias("span_idx", "span"),
     ).select(
         "doc_id",
@@ -373,7 +376,13 @@ def lineage_from_blocks(blocks: DataFrame, run_id: str) -> DataFrame:
         .alias("status"),
         F.first("error", ignorenulls=True).alias("error"),
         F.first("n_spans_in").cast("long").alias("n_spans_in"),
-        F.sum((~F.col("kind").isin("error", "empty")).cast("long")).alias("n_blocks_out"),
+        # failed docs report 0 blocks (they emit no output rows) — matches
+        # the narrow kernel's sentinel, not the count of sibling-span blocks
+        F.when(
+            F.count(F.col("error")) > 0, F.lit(0).cast("long")
+        )
+        .otherwise(F.sum((~F.col("kind").isin("error", "empty")).cast("long")))
+        .alias("n_blocks_out"),
     ).select("run_id", "partition_id", "doc_id", "status", "error",
              "n_spans_in", "n_blocks_out")
 
@@ -418,6 +427,10 @@ def run_extraction(
     """
     todo = resume_filter(docs, prior_lineage)
     if mode == "narrow":
+        if repartition_to:
+            # honor the knob in narrow mode too: round-robin whole-doc rows
+            # (spreads docs, not spans — use mode='spread' to split giants)
+            todo = todo.repartition(repartition_to)
         raw = extract_documents_narrow(todo)
         if persist_blocks:
             from pyspark import StorageLevel

@@ -17,19 +17,21 @@ from pyspark.sql import functions as F
 
 
 def idempotent_append(
-    spark: SparkSession, df: DataFrame, path: str, key: str = "id"
+    spark: SparkSession, df: DataFrame, path: str, key: str | list[str] = "id"
 ) -> None:
-    """Append rows whose `key` is not already present (exactly-once per id).
+    """Append rows whose key (single column or composite) is not already
+    present — exactly-once per key even across batch replays.
 
-    At scale this is one anti-join against the target's key column —
+    At scale this is one anti-join against the target's key columns —
     the same plan Iceberg's MERGE NOT MATCHED executes — and the write is
     atomic per job. On Iceberg, replace with ``df.writeTo(tbl).append()``
     after the same anti-join, or a real MERGE.
     """
-    new = df.dropDuplicates([key])
+    keys = [key] if isinstance(key, str) else list(key)
+    new = df.dropDuplicates(keys)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        existing = spark.read.parquet(path).select(key).distinct()
-        new = new.join(existing, key, "left_anti")
+        existing = spark.read.parquet(path).select(*keys).distinct()
+        new = new.join(existing, keys, "left_anti")
         new.write.mode("append").parquet(path)
     else:
         new.write.mode("overwrite").parquet(path)

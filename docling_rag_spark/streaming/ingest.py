@@ -50,19 +50,24 @@ def stream_ingest(
         # not documents — a doc re-delivered inside a new file would be
         # re-extracted. Anti-join the accumulated lineage (the reference's
         # document_exists skip / ON CONFLICT DO NOTHING semantics,
-        # src/storage/postgres.py:104-106,253-262).
+        # src/storage/postgres.py:104-106,253-262); dropDuplicates handles a
+        # doc appearing twice INSIDE one micro-batch.
+        from ..sources.sinks import idempotent_append
+
         prior = None
         if os.path.exists(os.path.join(lineage_dir, "_SUCCESS")):
             prior = spark.read.parquet(lineage_dir)
         extracted, chunks, lineage = run_extraction(
-            batch_df,
+            batch_df.dropDuplicates(["doc_id"]),
             run_id=f"{run_id}-b{batch_id}",
             prior_lineage=prior,
             persist_blocks=True,
         )
-        extracted.write.mode("append").parquet(spans_dir)
-        chunks.write.mode("append").parquet(chunks_dir)
-        lineage.write.mode("append").parquet(lineage_dir)
+        # idempotent (keyed anti-join) appends — a foreachBatch replay after
+        # a mid-batch failure must not duplicate already-written rows
+        idempotent_append(spark, extracted, spans_dir, key=["doc_id", "order"])
+        idempotent_append(spark, chunks, chunks_dir, key="id")
+        idempotent_append(spark, lineage, lineage_dir, key=["doc_id", "status"])
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -51,7 +51,9 @@ def _sessionize_fn(
     closed = []
     for ts, value in zip(rows["ts"], rows["value"]):
         t = int(pd.Timestamp(ts).value // 1_000)  # epoch µs
-        v = float(value or 0.0)
+        # pd.isna, not `value or 0.0`: NaN is truthy and would poison the
+        # session sum (batch F.sum skips nulls)
+        v = 0.0 if pd.isna(value) else float(value)
         if cur is None:
             cur = [t, t, 1, v]
         elif t - cur[1] > GAP_SEC * 1_000_000:

@@ -67,10 +67,15 @@ def main() -> None:
     if args.resume and os.path.exists(os.path.join(lineage_dir, "_SUCCESS")):
         prior = spark.read.parquet(lineage_dir)
 
+    # resume-filter ONCE here so doc_metadata below also sees only the docs
+    # this run actually processes (metadata over the full input would append
+    # empty/duplicate rows for already-done docs on --resume)
+    from docling_rag_spark.pipeline import resume_filter
+
+    todo = resume_filter(docs, prior)
     extracted, chunks, lineage = run_extraction(
-        docs,
+        todo,
         run_id=run_id,
-        prior_lineage=prior,
         mode=args.mode,
         repartition_to=args.repartition_to,
         persist_blocks=True,  # all four outputs materialize from one kernel pass
@@ -82,7 +87,7 @@ def main() -> None:
         chunks = embed_chunks(chunks)
     chunks.write.mode("append").parquet(os.path.join(args.output, "chunks"))
     lineage.write.mode("append").parquet(lineage_dir)
-    meta = doc_metadata(docs, extracted, chunks)
+    meta = doc_metadata(todo, extracted, chunks)
     meta.write.mode("append").parquet(os.path.join(args.output, "doc_metadata"))
 
     n = lineage.sparkSession.read.parquet(lineage_dir)

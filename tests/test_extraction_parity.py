@@ -139,3 +139,34 @@ def test_narrow_lineage_matches_spread(spark, corpus_rows):
         }
 
     assert lin("narrow") == lin("spread")
+
+
+def test_lineage_parity_with_failures_and_nulls(spark):
+    """Narrow and spread lineage agree for failed docs (n_blocks_out=0) and
+    null spans arrays (n_spans_in=0) — the previously-unexercised cases."""
+    from docling_rag_spark.pipeline import run_extraction
+
+    rows = [
+        ("okdoc", [{"kind": "text", "text": "fine text here", "media_ref": None, "offset": 0}]),
+        ("faildoc", [
+            {"kind": "text", "text": "good sibling span", "media_ref": None, "offset": 0},
+            {"kind": "pdf", "text": "NOT A MINIPDF", "media_ref": None, "offset": 10},
+            {"kind": "text", "text": "another good one", "media_ref": None, "offset": 20},
+        ]),
+        ("nullspans", None),
+        ("emptyspans", []),
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SPANS_SCHEMA)
+
+    def lin(mode):
+        _, _, lineage = run_extraction(docs, run_id="x", mode=mode)
+        return {
+            r["doc_id"]: (r["status"], r["n_spans_in"], r["n_blocks_out"])
+            for r in lineage.collect()
+        }
+
+    n, s = lin("narrow"), lin("spread")
+    assert n == s, (n, s)
+    assert n["faildoc"] == ("failed", 3, 0)
+    assert n["nullspans"] == ("processed", 0, 0)
+    assert n["emptyspans"] == ("processed", 0, 0)
