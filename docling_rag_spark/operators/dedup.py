@@ -102,6 +102,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "band")
         .agg(F.min("h").alias("sig"))
+        # cached: the self-join references sigs twice and each branch would
+        # otherwise recompute the full shingle+md5 pipeline
+        .cache()
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -138,7 +141,9 @@ group by a.doc_id, b.doc_id
 # n-gram Jaccard near-dup (sparse shingle self-join, verified similarity)
 # --------------------------------------------------------------------------
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir)
+    # cached: referenced three times below (sizes + both self-join sides) —
+    # uncached, the shingle generation executes three times per job
+    sh = _shingle_rows(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
