@@ -196,9 +196,9 @@ where round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) >= {JACCARD_THRESH
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit simhash over lowercase tokens; token hash = first 4 hex
     chars of md5(token) → int. Pure codegen: explode(tokens) × 16 bits."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # no repartition: scan splits already parallelize the explode; a blind
+    # full shuffle of document text only adds cost at scale
+    docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("tok")
     ).withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))

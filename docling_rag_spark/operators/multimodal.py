@@ -30,10 +30,16 @@ MEDIA_SCHEMA = (
     "doc_id long, media_ref string, media_kind string, content binary, "
     "width int, height int, duration_ms int"
 )
+# Driver-sortable projection: the correctness gate canonicalizes rows by
+# sorting every column, so the raw feature array (a Python list per cell —
+# unhashable) is summarized as (feat_md5, feat_dim). The md5 is over the
+# comma-joined INTEGER feature codes (floats = code/255.0), so the DuckDB
+# oracle reproduces it exactly with no float-formatting ambiguity.
 FEATURES_SCHEMA = (
-    "doc_id long, media_ref string, media_kind string, feat array<float>, "
-    "width int, height int, decode_status string"
+    "doc_id long, media_ref string, media_kind string, feat_md5 string, "
+    "feat_dim int, width int, height int, decode_status string"
 )
+FEAT_DIM = 8
 
 
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +63,11 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _decode_features(content: bytes, kind: str) -> tuple[list[float], str]:
     """Decode + feature-extract. Real decoders unavailable → deterministic
-    fake features from the bytes; the try/except gates the real path."""
+    fake features from the bytes; the try/except gates the real path.
+
+    The fake hashes the HEX STRING of the payload (not the raw bytes) so the
+    DuckDB oracle — whose md5 only accepts VARCHAR — can replay it.
+    """
     try:
         if kind == "image":
             import PIL  # noqa: F401
@@ -67,8 +77,8 @@ def _decode_features(content: bytes, kind: str) -> tuple[list[float], str]:
 
         raise NotImplementedError("real audio decode not wired in sandbox")
     except ImportError:
-        h = hashlib.md5(content or b"").hexdigest()
-        feat = [int(h[i : i + 2], 16) / 255.0 for i in range(0, 16, 2)]
+        h = hashlib.md5((content or b"").hex().encode()).hexdigest()
+        feat = [int(h[i : i + 2], 16) / 255.0 for i in range(0, 2 * FEAT_DIM, 2)]
         return feat, "fake-decode"
 
 
@@ -76,17 +86,20 @@ def _media_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
     import pandas as pd
 
     for pdf in batches:
-        feats, status = [], []
+        md5s, dims, status = [], [], []
         for content, kind in zip(pdf["content"], pdf["media_kind"]):
             f, s = _decode_features(bytes(content) if content is not None else b"", kind)
-            feats.append(f)
+            codes = ",".join(str(round(x * 255)) for x in f)
+            md5s.append(hashlib.md5(codes.encode()).hexdigest())
+            dims.append(len(f))
             status.append(s)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_ref": pdf["media_ref"],
                 "media_kind": pdf["media_kind"],
-                "feat": feats,
+                "feat_md5": md5s,
+                "feat_dim": dims,
                 "width": pdf["width"],
                 "height": pdf["height"],
                 "decode_status": status,
@@ -98,10 +111,10 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media table → per-item feature vectors via mapInPandas (the
     decode/feature-extract stage; frame-sampling/resize would be additional
     columns out of the same kernel)."""
+    # no repartition: scan splits already parallelize; a blind full shuffle
+    # of the binary payloads would only add cost at scale
     media = synth_media(spark, sf_dir)
-    return media.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(_media_kernel, schema=FEATURES_SCHEMA)
+    return media.mapInPandas(_media_kernel, schema=FEATURES_SCHEMA)
 
 
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,13 +134,47 @@ select case when doc_id % 3 = 0 then 'audio' else 'image' end as media_kind,
        max((doc_id % 1920 + 16)::int) as max_width,
        round(avg(case when doc_id % 3 = 0 then (doc_id % 60000)::int end), 6)
          as avg_duration_ms,
-       sum(octet_length(unhex(md5(doc_id::varchar || '|' || text)))) as total_bytes
+       -- cast: DuckDB sum(int) is HUGEINT → float64 in pandas; Spark is int64
+       cast(sum(octet_length(unhex(md5(doc_id::varchar || '|' || text))))
+            as bigint) as total_bytes
 from documents
 group by 1
 """
 
+
+def _feat_md5_sql() -> str:
+    """DuckDB mirror of the fake decode: h = md5(hex(content)) = md5(md5(key))
+    since content = unhex(md5(key)); feature codes are the first FEAT_DIM
+    hex-pair bytes of h, md5'd as a comma-joined int string."""
+    hexd = "0123456789abcdef"
+    val = lambda i: (  # noqa: E731
+        f"((strpos('{hexd}', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('{hexd}', substr(h, {2 * i + 2}, 1)) - 1))"
+    )
+    joined = " || ',' || ".join(f"{val(i)}::varchar" for i in range(FEAT_DIM))
+    return f"md5({joined})"
+
+
+MEDIA_FEATURES_SQL = f"""
+with t as (
+  select doc_id, md5(md5(doc_id::varchar || '|' || text)) as h from documents
+)
+select doc_id,
+       'img://' || doc_id::varchar as media_ref,
+       case when doc_id % 3 = 0 then 'audio' else 'image' end as media_kind,
+       {_feat_md5_sql()} as feat_md5,
+       {FEAT_DIM}::int as feat_dim,
+       (doc_id % 1920 + 16)::int as width,
+       (doc_id % 1080 + 16)::int as height,
+       'fake-decode' as decode_status
+from t
+"""
+
 QUERIES = {
-    "media_features": media_features,  # rows-only (binary kernel)
+    "media_features": media_features,
     "media_stats": media_stats,
 }
-ORACLES = {"media_stats": MEDIA_STATS_SQL}
+ORACLES = {
+    "media_features": MEDIA_FEATURES_SQL,
+    "media_stats": MEDIA_STATS_SQL,
+}

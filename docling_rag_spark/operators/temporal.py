@@ -154,9 +154,11 @@ with marked as (
 ),
 sess as (
   select *,
-         sum(new_session) over (partition by user_id order by ts, event_id
-                                rows between unbounded preceding
-                                and current row) as session_id
+         -- cast: DuckDB windowed sum(int) is HUGEINT -> float64 in pandas;
+         -- Spark's is int64
+         cast(sum(new_session) over (partition by user_id order by ts, event_id
+                                     rows between unbounded preceding
+                                     and current row) as bigint) as session_id
   from marked
 )
 select user_id, session_id,

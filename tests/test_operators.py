@@ -79,12 +79,13 @@ def test_embed_deterministic_and_normalized(spark):
 
 
 def test_media_features_deterministic(spark):
-    from docling_rag_spark.operators.multimodal import media_features
+    from docling_rag_spark.operators.multimodal import FEAT_DIM, media_features
 
     df = media_features(spark, SF)
     rows = df.orderBy("doc_id").limit(10).collect()
     assert all(r["decode_status"] == "fake-decode" for r in rows)
-    assert all(len(r["feat"]) == 8 for r in rows)
+    assert all(r["feat_dim"] == FEAT_DIM for r in rows)
+    assert all(len(r["feat_md5"]) == 32 for r in rows)
     assert rows == media_features(spark, SF).orderBy("doc_id").limit(10).collect()
 
 

@@ -23,10 +23,20 @@ TABLES = (
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver: sorted columns/rows. Integer widths and
+    timestamp resolutions are normalized (int32 vs int64 / ns vs us are
+    engine-representation noise), but int-vs-float is NOT — DuckDB HUGEINT
+    aggregates surfacing as float64 must fail here like they fail upstream."""
     df = df[sorted(df.columns)]
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -66,7 +76,7 @@ def main() -> int:
             continue
         a, b = norm(got), norm(want)
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            pd.testing.assert_frame_equal(a, b, check_dtype=True)
             print(f"ok   {name}: {len(a)} rows match oracle ({time.time()-t0:.1f}s)")
         except AssertionError as ex:
             print(f"FAIL {name}: mismatch (spark={len(a)} duckdb={len(b)} rows)")
