@@ -140,10 +140,35 @@ group by a.doc_id, b.doc_id
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup (sparse shingle self-join, verified similarity)
 # --------------------------------------------------------------------------
+# Posting-list cap: a shingle appearing in > HOT_SHINGLE_DF_CAP documents is
+# dropped from every doc's shingle set BEFORE the self-join. Without it, a
+# boilerplate shingle shared by d docs emits d²/2 join rows — a quadratic
+# skew key that kills the job at corpus scale ("all rights reserved").
+# Jaccard is then computed over the CAPPED sets (numerator and sizes), the
+# standard df-cap semantics; the DuckDB oracle applies the identical cap.
+HOT_SHINGLE_DF_CAP = 100
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cached: referenced three times below (sizes + both self-join sides) —
-    # uncached, the shingle generation executes three times per job
-    sh = _shingle_rows(spark, sf_dir).cache()
+    return _ngram_jaccard_from_shingles(_shingle_rows(spark, sf_dir))
+
+
+def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    # document frequency via a window count — ONE shuffle on shingle, which
+    # also pre-partitions both self-join sides (no join-back needed)
+    kept = (
+        shingle_rows.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
+        .drop("df")
+        # cached: referenced three times below (sizes + both self-join sides)
+        # — uncached, the shingle generation executes three times per job
+        .cache()
+    )
+    sh = kept
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -172,8 +197,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-with sh as (
+with sh_all as materialized (
   select doc_id, unnest({shingles_sql('text')}) as shingle from documents
+),
+sh as materialized (
+  select doc_id, shingle from (
+    select doc_id, shingle, count(*) over (partition by shingle) as df
+    from sh_all
+  ) where df <= {HOT_SHINGLE_DF_CAP}
 ),
 sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
 shared as (

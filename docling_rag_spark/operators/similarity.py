@@ -270,46 +270,136 @@ limit {IVF_TOP_K}
 """
 
 EMB_DEDUP_THRESHOLD = 0.35
+# Multi-band LSH for near-dup candidates: EMB_BANDS independent hyperplane
+# families; a pair is a candidate if it collides in ANY band (recall), and
+# each band's bucket count GROWS with corpus size (bounded occupancy — a
+# fixed bucket count keeps pair counts O(n²/buckets), i.e. still quadratic).
+# The bucket id is the low-k bits of an EMB_PLANES_MAX-plane sign signature
+# (x % 2^k == low-k planes), so the DuckDB oracle can derive k from
+# count(*) inside static SQL while Spark derives it from df.count().
+# EMB_PLANES_MAX=16 bounds the inline oracle SQL size; at true corpus scale
+# raise it (the signature is embarrassingly parallel either way).
+EMB_BANDS = 4
+EMB_PLANES_MAX = 16
+EMB_TARGET_OCCUPANCY = 8
+
+
+def _num_buckets(n: int) -> int:
+    import math
+
+    k = min(
+        EMB_PLANES_MAX,
+        max(4, math.ceil(math.log2(max(n, 1) / EMB_TARGET_OCCUPANCY))),
+    )
+    return 1 << k
+
+
+def _band_planes(band: int) -> list[list[float]]:
+    """Like _plane_weights but seeded per band: ±1 from md5('{band}:{p}|{d}')."""
+    planes = []
+    for p in range(EMB_PLANES_MAX):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{band}:{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucket-prefiltered: only pairs in
-    the same random-hyperplane bucket are scored (the linear-not-quadratic
-    path at scale), then exact cosine >= threshold."""
-    planes = _plane_weights()
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _bucket_col(F.col("embedding"), planes)
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
-    )
-    pairs = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    """Embedding-cosine near-dup pairs via banded LSH: candidates = pairs
+    colliding in >=1 of EMB_BANDS size-scaled bucket keys; then exact cosine
+    >= threshold. Candidate ids are deduped BEFORE rehydrating embeddings so
+    the union never shuffles vector payloads."""
+    emb = table(spark, sf_dir, "embeddings")
+    nb = _num_buckets(emb.count())
+    bucket_cols = [
+        (_bucket_col(F.col("embedding"), _band_planes(band)) % nb).alias(f"b{band}")
+        for band in range(EMB_BANDS)
+    ]
+    # cached: referenced as both sides of EMB_BANDS self-joins
+    keyed = emb.select("vec_id", *bucket_cols).cache()
+    cand = None
+    for band in range(EMB_BANDS):
+        a = keyed.select(F.col("vec_id").alias("vec_a"), F.col(f"b{band}").alias("bk"))
+        b = keyed.select(F.col("vec_id").alias("vec_b"), F.col(f"b{band}").alias("bk"))
+        p = a.join(b, "bk").filter(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["vec_a", "vec_b"])
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
     )
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("cosine_sim"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= EMB_DEDUP_THRESHOLD)
     )
 
 
-EMB_DEDUP_SQL = f"""
-with emb as (
-  select vec_id, embedding, {_bucket_sql('embedding')} as bucket from embeddings
+def _band_bucket_sql(emb: str, band: int) -> str:
+    """Plane p contributes 2^p only when 2^p < nb (the % nb would zero it
+    anyway); the outer case lets DuckDB skip the dot product for planes
+    above the dynamic signature width."""
+    planes = _band_planes(band)
+    parts = []
+    for p, w in enumerate(planes):
+        wlit = "[" + ", ".join(str(x) for x in w) + "]"
+        parts.append(
+            f"(case when {1 << p} < nb then"
+            f" (case when {_dot_sql(emb, wlit)} > 0 then {1 << p} else 0 end)"
+            f" else 0 end)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def _emb_dedup_sql() -> str:
+    band_cols = ",\n         ".join(
+        f"({_band_bucket_sql('embedding', band)}) % nb as b{band}"
+        for band in range(EMB_BANDS)
+    )
+    band_joins = "\n    union all\n    ".join(
+        f"select a.vec_id as vec_a, b.vec_id as vec_b "
+        f"from keyed a join keyed b on a.b{band} = b.b{band} and a.vec_id < b.vec_id"
+        for band in range(EMB_BANDS)
+    )
+    return f"""
+with params as materialized (
+  select cast(power(2, least({EMB_PLANES_MAX},
+                greatest(4, ceil(log2(count(*) / {EMB_TARGET_OCCUPANCY}.0)))))
+              as bigint) as nb
+  from embeddings
+),
+keyed as materialized (
+  select vec_id,
+         {band_cols}
+  from embeddings, params
+),
+cand as materialized (
+  -- union of per-band equi-joins (hash-joinable; mirrors the Spark plan)
+  select distinct vec_a, vec_b from (
+    {band_joins}
+  )
 )
-select a.vec_id as vec_a, b.vec_id as vec_b,
-       round({_dot_sql('a.embedding', 'b.embedding')}
-             / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-                * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) as cosine_sim
-from emb a join emb b on a.bucket = b.bucket and a.vec_id < b.vec_id
-where round({_dot_sql('a.embedding', 'b.embedding')}
-            / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-               * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)
+select vec_a, vec_b,
+       round({_dot_sql('ea.embedding', 'eb.embedding')}
+             / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+                * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6) as cosine_sim
+from cand
+join embeddings ea on ea.vec_id = vec_a
+join embeddings eb on eb.vec_id = vec_b
+where round({_dot_sql('ea.embedding', 'eb.embedding')}
+            / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+               * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6)
       >= {EMB_DEDUP_THRESHOLD}
 """
+
+
+EMB_DEDUP_SQL = _emb_dedup_sql()
 
 QUERIES["knn_ivf"] = knn_ivf
 QUERIES["dedup_embedding"] = embedding_near_dup

@@ -138,3 +138,48 @@ def test_hybrid_fallback_to_vector_only(spark):
     fused = hybrid_search(spark, SF, ["spark", "window", "join"]).collect()
     assert len(fused) == TOP_K
     assert all(0.0 < r["score"] < 0.04 for r in fused)
+
+
+# --- scale-shape guards (round 2) --------------------------------------------
+def test_ngram_jaccard_hot_shingle_bounded(spark):
+    """A shingle planted in EVERY doc must not produce quadratic pairs: the
+    df-cap drops it before the self-join, so docs related ONLY through the
+    hot shingle never pair, while rare-shingle duplicates still do."""
+    from docling_rag_spark.operators.dedup import (
+        HOT_SHINGLE_DF_CAP,
+        _ngram_jaccard_from_shingles,
+    )
+
+    n = HOT_SHINGLE_DF_CAP + 50
+    rows = []
+    for d in range(n):
+        rows.append((d, "the hot shingle"))
+        rows.append((d, f"unique shingle {d}"))
+    # one true duplicate pair sharing only sub-cap shingles
+    rows += [(n, "rare a x"), (n, "rare b x"), (n + 1, "rare a x"), (n + 1, "rare b x")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    out = _ngram_jaccard_from_shingles(sh).collect()
+    assert all(r["doc_a"] >= n for r in out), "hot-shingle-only pairs leaked"
+    assert any(
+        r["doc_a"] == n and r["doc_b"] == n + 1 and r["jaccard"] == 1.0 for r in out
+    )
+
+
+def test_embedding_lsh_buckets_scale_with_n():
+    """Expected bucket occupancy stays bounded as the corpus grows (until the
+    EMB_PLANES_MAX signature width caps it — raise that constant at true
+    scale)."""
+    from docling_rag_spark.operators.similarity import (
+        EMB_PLANES_MAX,
+        EMB_TARGET_OCCUPANCY,
+        _num_buckets,
+    )
+
+    prev = 0
+    for n in [10, 100, 500, 2_000, 50_000, 1_000_000]:
+        nb = _num_buckets(n)
+        assert nb >= prev, "bucket count must be nondecreasing in n"
+        prev = nb
+        if n <= EMB_TARGET_OCCUPANCY * (1 << EMB_PLANES_MAX):
+            assert n / nb <= EMB_TARGET_OCCUPANCY
+    assert _num_buckets(10**12) == 1 << EMB_PLANES_MAX
