@@ -27,6 +27,10 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin the session TZ: date_trunc/day-bucket semantics and DuckDB
+        # oracle parity must not depend on the host timezone (DuckDB treats
+        # parquet timestamps as naive UTC)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -29,12 +29,26 @@ def idempotent_append(
     """
     keys = [key] if isinstance(key, str) else list(key)
     new = df.dropDuplicates(keys)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    # branch on actual data files, NOT the _SUCCESS marker: a target holding
+    # parquet without the marker (partially-committed job, foreign writer)
+    # must be anti-joined against, never silently overwritten
+    if _has_parquet_files(path):
         existing = spark.read.parquet(path).select(*keys).distinct()
         new = new.join(existing, keys, "left_anti")
         new.write.mode("append").parquet(path)
     else:
         new.write.mode("overwrite").parquet(path)
+
+
+def _has_parquet_files(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if "_temporary" in root:
+            continue
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def truncate(path: str) -> None:

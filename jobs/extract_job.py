@@ -80,15 +80,28 @@ def main() -> None:
         repartition_to=args.repartition_to,
         persist_blocks=True,  # all four outputs materialize from one kernel pass
     )
-    extracted.write.mode("append").parquet(os.path.join(args.output, "extracted_spans"))
+    # Exactly-once across crashes: every output is an idempotent keyed
+    # append, and the lineage COMMIT is written LAST — a job killed between
+    # an output write and the lineage write re-processes those docs on
+    # --resume, but the key anti-joins drop the replayed rows (the batch
+    # analog of the streaming sink's guarantee; reference ON CONFLICT DO
+    # NOTHING, src/storage/postgres.py:104-106).
+    from docling_rag_spark.sources.sinks import idempotent_append
+
+    idempotent_append(
+        spark, extracted, os.path.join(args.output, "extracted_spans"),
+        key=["doc_id", "order"],
+    )
     if args.embed:
         from docling_rag_spark.operators.embed import embed_chunks
 
         chunks = embed_chunks(chunks)
-    chunks.write.mode("append").parquet(os.path.join(args.output, "chunks"))
-    lineage.write.mode("append").parquet(lineage_dir)
+    idempotent_append(spark, chunks, os.path.join(args.output, "chunks"), key="id")
     meta = doc_metadata(todo, extracted, chunks)
-    meta.write.mode("append").parquet(os.path.join(args.output, "doc_metadata"))
+    idempotent_append(
+        spark, meta, os.path.join(args.output, "doc_metadata"), key="doc_id"
+    )
+    idempotent_append(spark, lineage, lineage_dir, key=["run_id", "doc_id"])
 
     n = lineage.sparkSession.read.parquet(lineage_dir)
     from pyspark.sql import functions as F

@@ -34,12 +34,15 @@ def _mk_events():
         (5, T0 + 120 * m, 1, "c", 5.0, None),         # gap 55m → new session
         (7, T0, 2, "a", 7.0, None),
         (8, T0 + 45 * m, 2, "a", 8.0, None),          # gap 45m → new session
+        (12, T0, 3, "a", None, None),                 # user 3: all-NULL values
+        (13, T0 + 100 * m, 3, "a", None, None),       # gap 100m → new session
     ]
     rows_b = [
         (6, T0 + 122 * m, 1, "c", 6.0, None),         # continues session 3
         (9, T0 + 46 * m, 2, "b", 9.0, None),          # continues user-2 s2
         (10, T0 + 200 * m, 1, "d", 10.0, None),       # closes user-1 s3
         (11, T0 + 200 * m, 2, "d", 11.0, None),       # closes user-2 s2
+        (14, T0 + 200 * m, 3, "d", 1.5, None),        # closes user-3 s2
     ]
     return rows, rows_b
 
@@ -75,6 +78,8 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         (1, T0 + 120 * m, T0 + 122 * m, 2, 11.0),          # s3 spans restart
         (2, T0, T0, 1, 7.0),                               # s1 user2
         (2, T0 + 45 * m, T0 + 46 * m, 2, 17.0),            # s2 spans restart
+        (3, T0, T0, 1, None),                              # all-NULL → NULL sum
+        (3, T0 + 100 * m, T0 + 100 * m, 1, None),          # (matches batch F.sum)
     }
     assert streamed == expected_closed
     assert all(r["closed_by"] == "gap" for r in got.collect())
@@ -106,5 +111,41 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     batch_set = {(r["user_id"], r["s"], r["e"], r["n"]) for r in batch_rows}
     streamed_sen = {(u, s, e, n) for (u, s, e, n, _v) in streamed}
     assert streamed_sen <= batch_set
-    # exactly the two open tails (one per user, at T0+200m) remain un-emitted
-    assert len(batch_set - streamed_sen) == 2
+    # exactly the three open tails (one per user, at T0+200m) remain un-emitted
+    assert len(batch_set - streamed_sen) == 3
+
+
+def test_idle_session_closes_by_event_time_timeout(spark, tmp_path):
+    """VERDICT #10: with event_time_timeout=True an idle user's open session
+    is flushed once OTHER users' events advance the watermark past its
+    end + gap — values matching the batch spec on the closed prefix."""
+    m = dt.timedelta(minutes=1)
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    # file A: idle user 1 (two events, then silence) + user 2 heartbeat
+    rows_a = [
+        (1, T0, 1, "a", 1.25, None),
+        (2, T0 + 1 * m, 1, "a", 2.5, None),
+        (3, T0, 2, "hb", 0.0, None),
+    ]
+    # file B: only user 2 — advances max event time well past T0+31m
+    rows_b = [(4, T0 + 120 * m, 2, "hb", 0.0, None)]
+    # file C: one more batch so the checkpointed watermark (T0+120m) is
+    # APPLIED (timeouts fire against the watermark of the previous batch)
+    rows_c = [(5, T0 + 121 * m, 2, "hb", 0.0, None)]
+    for rows in (rows_a, rows_b):
+        spark.createDataFrame(rows, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+    sessionize_stream(spark, inp, out, event_time_timeout=True)
+    spark.createDataFrame(rows_c, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    sessionize_stream(spark, inp, out, event_time_timeout=True)  # restart
+
+    got = spark.read.parquet(os.path.join(out, "sessions")).collect()
+    by_user = {(r["user_id"], r["closed_by"]): r for r in got}
+    idle = by_user[(1, "timeout")]
+    assert idle["session_start"] == T0
+    assert idle["session_end"] == T0 + 1 * m
+    assert idle["n_events"] == 2
+    assert idle["sum_value"] == 3.75
