@@ -54,7 +54,8 @@ HEADLINE = [
 def materialize_bench_corpus(spark, sf_dir: str, mult: int, cache_root: str) -> str:
     """Derive + replicate the interleaved corpus (deterministic; untimed)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(cache_root, f"bench_corpus_{tag}_x{mult}.parquet")
+    # v2: datagen emits heading blocks; version tag invalidates old caches
+    out = os.path.join(cache_root, f"bench_corpus_v2_{tag}_x{mult}.parquet")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     base = interleaved_corpus(spark, sf_dir)

@@ -55,6 +55,9 @@ def make_html(doc_id: str, main_paras: list[str], with_table: bool, with_img: bo
     footer = "<footer><p>Copyright 2026 Example Corp. <a href='/tos'>Terms</a></p></footer>"
     body = [f"<h1>Document {doc_id}</h1>"]
     for i, p in enumerate(main_paras):
+        # heading-split sections: exercises the chunker's heading-aware
+        # merge (undersized adjacent peers under one heading pack together)
+        body.append(f"<h2>Section {i} of {doc_id}</h2>")
         body.append(f"<p>{p}</p>")
         if with_table and i == 0:
             body.append(
@@ -78,6 +81,7 @@ def make_minipdf(doc_id: str, paras: list[str], pages: int, with_raster: bool) -
     for pi in range(pages):
         page = pi + 1
         chunk = paras[pi * per_page : (pi + 1) * per_page] or [paras[-1]]
+        lines.append(f"block {page} 0 10 heading - Part {page} of {doc_id}")
         for bi, p in enumerate(chunk):
             col = 0 if (bi % 2 == 0) else 320  # two-column layout
             y = 40 + 48 * (bi // 2)

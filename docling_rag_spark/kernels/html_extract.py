@@ -20,12 +20,15 @@ Spec
 4. ``<img src=X>`` outside boilerplate → block kind ``image``, empty text,
    ``media_ref = X`` (the reference preserves inline image markers,
    src/ingestion/document.py:113-114, and media MIME types :39-48).
-5. A text block is GOOD (kept, kind ``text``) iff:
+5. A text block is GOOD (kept) iff:
    - it was not opened in boilerplate context, and
    - link density (chars inside <a> / total chars) <= 0.4, and
    - it is a heading (h1-h6) with >= 3 chars, OR has >= 25 chars, OR has
      stopword density >= 0.30 with >= 10 chars.
-   Everything else is dropped (boilerplate).
+   Everything else is dropped (boilerplate). Kept heading blocks emit kind
+   ``heading`` (heading-aware chunk merging consumes it, spec v2 in
+   kernels/chunker.py — the reference chunker's heading context,
+   src/ingestion/chunker.py:16-27); other kept blocks emit kind ``text``.
 6. Output preserves document order: list of (kind, text, media_ref).
 """
 
@@ -96,7 +99,7 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, str | None]]:
                 or (n >= STOPWORD_MIN_CHARS and sw / len(toks) >= STOPWORD_DENSITY_MIN)
             )
         if good:
-            blocks.append(("text", text, None))
+            blocks.append(("heading" if is_head else "text", text, None))
         block_boiler = boiler_depth > 0
 
     pos = 0

@@ -15,8 +15,8 @@ MINIPDF format (one text payload per document span, kind='pdf')::
     block <page_no> <x0> <y0> <kind> <media_ref|-> <text...>
 
 Block lines may appear in ARBITRARY order (the generator scrambles them);
-the parser restores reading order. ``kind`` is one of ``text``, ``table``,
-``figure``, ``rastertext`` (text only recoverable via OCR).
+the parser restores reading order. ``kind`` is one of ``text``, ``heading``,
+``table``, ``figure``, ``rastertext`` (text only recoverable via OCR).
 
 Reading order (two-column aware, page width 612pt):
     sort by (page_no, column = x0 // 306, y_band = y0 // 16, x0, y0, seq)
@@ -95,6 +95,8 @@ def extract_pdf_blocks(payload: str) -> list[tuple[str, str, str | None, int]]:
     """MINIPDF payload → ordered [(kind, text, media_ref, page_no)].
 
     - text blocks → kind 'text'
+    - heading blocks → kind 'heading' (section titles with layout provenance;
+      heading-aware chunk merging consumes them, kernels/chunker.py spec v2)
     - rastertext blocks → kind 'text' IFF the OCR probe fires, else dropped
     - table blocks → kind 'table' (text = flattened cells, ' | '-joined by
       the generator), media_ref preserved
@@ -112,6 +114,9 @@ def extract_pdf_blocks(payload: str) -> list[tuple[str, str, str | None, int]]:
         if kind == "text":
             if text:
                 out.append(("text", text, None, page))
+        elif kind == "heading":
+            if text:
+                out.append(("heading", text, None, page))
         elif kind == "table":
             out.append(("table", text, ref, page))
         elif kind == "figure":

@@ -39,7 +39,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .functions.text import detect_language_col, token_count_col
+from .functions.text import detect_language_col
 from .kernels.extract import extract_span
 
 
@@ -268,67 +268,81 @@ def order_spans(blocks: DataFrame, drop_failed_docs: bool = True) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# stage 4: chunk assembly (windows + groupBy — zero Python)
+# stage 4: chunk assembly (heading-aware greedy packing — frozen spec v2,
+# kernels/chunker.py). Greedy packing with heading resets is sequentially
+# dependent per document, which windows cannot express (prefix-sum binning
+# — the v1 spec — let chunks exceed max_tokens when a span straddled a
+# boundary). Physical shape: ONE hash shuffle on doc_id + in-partition sort,
+# then a single-pass Arrow kernel that streams state across batch
+# boundaries — same exchange count as the old window+groupBy plan.
 # --------------------------------------------------------------------------
-def chunk_spans(extracted: DataFrame, max_tokens: int = MAX_TOKENS) -> DataFrame:
-    """Ordered spans → chunks table (reference HybridChunker semantics,
-    re-expressed as window ops — SURVEY.md §2.2 E11-E13).
+_CHUNK_SCHEMA = (
+    "doc_id string, chunk_index int, text string, page_num int, n_tokens int"
+)
 
-    Frozen spec:
-    - chunkable spans: kind ∈ {text, table} with non-empty text
-    - tokens(span) = whitespace token count
-    - segment = floor(exclusive-prefix-sum(tokens) / max_tokens)  — greedy
-      512-token budget via running sum (oversized spans are NOT split; they
-      occupy their own segment range)
-    - chunk text = ' '-join of span texts in order
-    - chunk_index = 0-based rank of segment within doc
-    - id = md5('{doc_id}_{chunk_index}_{text}')  (exact reference recipe,
-      src/ingestion/chunker.py:49)
-    - page_num = the FIRST span's page (null if that span has no page
-      provenance — exact reference semantics, src/ingestion/chunker.py:35-42:
-      doc_items[0].prov[0].page_no or None)
+
+def _chunk_kernel(
+    batches: Iterator["pd.DataFrame"], max_tokens: int = MAX_TOKENS
+) -> Iterator["pd.DataFrame"]:
+    """Per-partition streaming packer: input rows arrive clustered by doc_id
+    and sorted by (doc_id, order); ChunkPacker state carries a document
+    across Arrow batch boundaries (a giant doc never needs to fit one
+    batch)."""
+    import pandas as pd
+
+    from .kernels.chunker import ChunkPacker
+
+    cols = ("doc_id", "chunk_index", "text", "page_num", "n_tokens")
+    out: dict[str, list] = {k: [] for k in cols}
+    cur_doc, packer = None, None
+
+    def finish_doc() -> None:
+        if packer is None:
+            return
+        for c in packer.finish():
+            out["doc_id"].append(cur_doc)
+            out["chunk_index"].append(c["chunk_index"])
+            out["text"].append(c["text"])
+            out["page_num"].append(c["page_num"])
+            out["n_tokens"].append(c["n_tokens"])
+
+    for pdf in batches:
+        for doc_id, kind, text, page in zip(
+            pdf["doc_id"], pdf["kind"], pdf["text"], pdf["page_num"]
+        ):
+            if doc_id != cur_doc:
+                finish_doc()
+                cur_doc, packer = doc_id, ChunkPacker(max_tokens)
+            packer.add(kind, text, None if pd.isna(page) else int(page))
+        if len(out["doc_id"]) >= 8192:  # bound kernel memory on huge partitions
+            yield pd.DataFrame(out)
+            out = {k: [] for k in cols}
+    finish_doc()
+    yield pd.DataFrame(out)
+
+
+def chunk_spans(extracted: DataFrame, max_tokens: int = MAX_TOKENS) -> DataFrame:
+    """Ordered spans → chunks table (reference HybridChunker semantics:
+    heading-aware greedy packing — SURVEY.md §2.2 E11-E13; frozen spec v2 in
+    kernels/chunker.py, shared with the single-process oracle).
+
+    Only chunkable spans (kind/text filter pushed to the scan) are shuffled;
+    id = md5('{doc_id}_{chunk_index}_{text}') stays a codegen expression.
     """
-    w = Window.partitionBy("doc_id").orderBy("order")
-    chunkable = (
-        extracted.filter(
-            F.col("kind").isin("text", "table")
-            & F.col("text").isNotNull()
-            & (F.length("text") > 0)
-        )
-        .withColumn("n_tok", token_count_col(F.col("text")))
-        .withColumn(
-            "segment",
-            F.floor(
-                (F.coalesce(
-                    F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0),
-                ))
-                / F.lit(max_tokens)
-            ),
-        )
+    chunkable = extracted.filter(
+        F.col("kind").isin("heading", "text", "table")
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    ).select("doc_id", "order", "kind", "text", "page_num")
+    from functools import partial
+
+    clustered = chunkable.repartition("doc_id").sortWithinPartitions(
+        "doc_id", "order"
     )
-    grouped = chunkable.groupBy("doc_id", "segment").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("order"), F.col("text")))
-                ),
-                lambda s: s["text"],
-            ),
-            " ",
-        ).alias("text"),
-        F.min(F.struct(F.col("order"), F.col("page_num")))["page_num"].alias("first_page"),
-        F.sum("n_tok").cast("int").alias("n_tokens"),
-    )
-    wseg = Window.partitionBy("doc_id").orderBy("segment")
-    return grouped.select(
-        "doc_id",
-        (F.row_number().over(wseg) - 1).alias("chunk_index"),
-        "text",
-        F.col("first_page").alias("page_num"),
-        "n_tokens",
-    ).withColumn(
-        "id", F.md5(F.concat_ws("_", F.col("doc_id"), F.col("chunk_index"), F.col("text")))
+    kernel = partial(_chunk_kernel, max_tokens=max_tokens)
+    return clustered.mapInPandas(kernel, schema=_CHUNK_SCHEMA).withColumn(
+        "id",
+        F.md5(F.concat_ws("_", F.col("doc_id"), F.col("chunk_index"), F.col("text"))),
     )
 
 

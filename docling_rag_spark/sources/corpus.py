@@ -74,7 +74,9 @@ def corpus_for_sf(spark: SparkSession, sf_dir: str, cache_root: str | None = Non
         "data",
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(cache_root, f"corpus_{tag}.parquet")
+    # v2: datagen emits heading blocks (h2 sections / MINIPDF heading lines);
+    # the version tag invalidates corpora materialized by older datagen
+    out = os.path.join(cache_root, f"corpus_v2_{tag}.parquet")
     try:
         return read_corpus(spark, materialize_corpus(spark, sf_dir, out))
     except Exception:

@@ -93,15 +93,53 @@ def test_chunks_id_recipe_and_budget(pipeline_out):
             f"{r['doc_id']}_{r['chunk_index']}_{r['text']}".encode()
         ).hexdigest()
         assert r["id"] == want
-    # budget: every chunk except possibly a doc's last started under budget;
-    # with the exclusive-prefix-sum spec each chunk has <=512 tokens unless a
-    # single span alone exceeds the budget.
+    # greedy budget (spec v2): a chunk over max_tokens can only be a single
+    # oversized span — the corpus has no >512-token span, so every chunk is
+    # within budget here (the single-span escape is unit-tested on the packer)
+    assert all(r["n_tokens"] <= 512 for r in rows)
     by_doc: dict[str, list] = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
     for rs in by_doc.values():
         idxs = sorted(x["chunk_index"] for x in rs)
         assert idxs == list(range(len(rs)))
+
+
+def test_chunk_packer_greedy_and_heading_merge():
+    """Packer unit spec: true greedy packing (running sum RESETS at chunk
+    boundaries — 500+300 token spans may NOT share an 800-token chunk) and
+    heading-aware merging (undersized adjacent peers under one heading pack
+    together; a chunk never spans two heading contexts)."""
+    from docling_rag_spark.kernels.chunker import ChunkPacker
+
+    def pack(spans, max_tokens=512):
+        p = ChunkPacker(max_tokens)
+        for kind, n_tok, page in spans:
+            p.add(kind, " ".join(f"w{i}" for i in range(n_tok)), page)
+        return p.finish()
+
+    # the ADVICE failure case: 500 + 300 must split, not form one 800 chunk
+    got = pack([("text", 500, 1), ("text", 300, 2)])
+    assert [c["n_tokens"] for c in got] == [500, 300]
+    assert [c["page_num"] for c in got] == [1, 2]
+    # single oversized span: its own (only possible >max) chunk
+    got = pack([("text", 800, None), ("text", 10, None)])
+    assert [c["n_tokens"] for c in got] == [800, 10]
+    # undersized peers under ONE heading merge; a new heading always splits
+    got = pack(
+        [
+            ("heading", 2, 1), ("text", 5, 1), ("text", 5, 1),
+            ("heading", 2, 2), ("text", 5, 2),
+        ]
+    )
+    assert [c["n_tokens"] for c in got] == [12, 7]
+    assert got[0]["chunk_index"] == 0 and got[1]["chunk_index"] == 1
+    # budget still applies within a heading run
+    got = pack([("heading", 2, None), ("text", 300, None), ("text", 300, None)])
+    assert [c["n_tokens"] for c in got] == [302, 300]
+    # non-chunkable kinds and empty text are ignored
+    got = pack([("figure", 0, None), ("text", 3, 7), ("image", 0, None)])
+    assert len(got) == 1 and got[0]["n_tokens"] == 3 and got[0]["page_num"] == 7
 
 
 def test_narrow_equals_spread(spark, corpus_rows):

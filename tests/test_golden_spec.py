@@ -62,7 +62,7 @@ def test_spark_kernel_matches_frozen_golden(spark):
 def test_html_extractor_total(s):
     """Never crashes on arbitrary input; outputs are tidied, non-boilerplate."""
     for kind, text, ref in extract_html_blocks(s):
-        assert kind in ("text", "table", "image")
+        assert kind in ("heading", "text", "table", "image")
         assert text == tidy(text)
 
 
@@ -81,7 +81,7 @@ def test_extract_span_total(s):
             st.integers(1, 3),  # page
             st.integers(0, 611),  # x0
             st.integers(0, 800),  # y0
-            st.sampled_from(["text", "table", "figure", "rastertext"]),
+            st.sampled_from(["text", "heading", "table", "figure", "rastertext"]),
             st.text(alphabet="ab ", min_size=1, max_size=10),
         ),
         max_size=30,

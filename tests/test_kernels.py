@@ -67,7 +67,7 @@ def test_html_table_and_image():
     )
     blocks = extract_html_blocks(html)
     assert blocks == [
-        ("text", "Title here", None),
+        ("heading", "Title here", None),
         ("table", "a | b | c", None),
         ("image", "", "img://x"),
         ("text", "Closing paragraph with sufficient character length here.", None),
