@@ -57,6 +57,103 @@ limit {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# T2 (cover-density variant): deterministic ts_rank_cd-style score
+# (reference ranks fulltext with ts_rank_cd — cover density —
+# src/storage/postgres.py:185, GIN index docker/init.sql:21). Frozen spec:
+#   hits  = positions of query terms in the (tidy, lowercased) token stream
+#   nt    = distinct terms hit      (coverage dominates, weight 100)
+#   nh    = total hits              (term frequency)
+#   prox  = Σ over CONSECUTIVE hit pairs of DIFFERENT terms of
+#           round(1/gap, 6)         (the cover-width reciprocal flavor;
+#                                    summed as decimal → order-independent)
+#   score = round(nt*100 + nh + prox, 6)
+# Pure relational: posexplode → window lag → groupBy; one shuffle on doc_id.
+# --------------------------------------------------------------------------
+def cover_density_scores(docs: DataFrame, terms: list[str]) -> DataFrame:
+    tl = sorted({t.lower() for t in terms})
+    hits = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"), lower=True)).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(tl))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = hits.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.lag("pos").over(w).alias("prev_pos"),
+        F.lag("tok").over(w).alias("prev_tok"),
+    )
+    bonus = (
+        F.when(
+            F.col("prev_tok").isNotNull() & (F.col("prev_tok") != F.col("tok")),
+            F.round(F.lit(1.0) / (F.col("pos") - F.col("prev_pos")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    )
+    return (
+        marked.withColumn("bonus", bonus)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("tok").alias("nt"),
+            F.count("*").alias("nh"),
+            F.sum("bonus").alias("prox"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("nt") * 100 + F.col("nh") + F.col("prox").cast("double"), 6
+            ).alias("s"),
+        )
+    )
+
+
+def _cover_density_sql(terms: list[str], source: str = "documents") -> str:
+    """CTE body returning (doc_id, s) — exact mirror of cover_density_scores."""
+    tl = sorted({t.lower() for t in terms})
+    arr = "[" + ", ".join(f"'{t}'" for t in tl) + "]"
+    return f"""
+  with hits as (
+    select doc_id, i - 1 as pos, w[i] as tok
+    from (select doc_id, {tokens_sql('text', lower=True)} as w from {source}),
+         unnest(range(1, len(w) + 1)) as t(i)
+    where list_contains({arr}, w[i])
+  ),
+  marked as (
+    select doc_id, tok, pos,
+           lag(pos) over (partition by doc_id order by pos) as prev_pos,
+           lag(tok) over (partition by doc_id order by pos) as prev_tok
+    from hits
+  )
+  select doc_id,
+         round(count(distinct tok) * 100 + count(*)
+               + sum(case when prev_tok is not null and prev_tok != tok
+                          then round(1.0::double / (pos - prev_pos), 6)
+                               ::decimal(18,6)
+                          else 0::decimal(18,6) end)::double, 6) as s
+  from marked group by doc_id
+"""
+
+
+def fulltext_topk_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        cover_density_scores(docs, FT_TERMS)
+        .select("doc_id", F.col("s").alias("cd_score"))
+        .orderBy(F.desc("cd_score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+FULLTEXT_CD_SQL = f"""
+with cd as ({_cover_density_sql(FT_TERMS)})
+select doc_id, s as cd_score from cd
+order by cd_score desc, doc_id asc
+limit {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # W1+W2+T3: hybrid search with reciprocal-rank fusion
 # (reference src/retrieval/search.py:7-32: rank = 1-based position per
 # engine, rrf += 1/(60+rank), over-fetch 3×top_k, final top_k)
@@ -75,9 +172,8 @@ ft as (
   select doc_id,
          row_number() over (order by s desc, doc_id asc) as rank
   from (
-    select doc_id, {term_frequency_sql('text', FT_TERMS)} as s
-    from documents
-    where {term_frequency_sql('text', FT_TERMS)} > 0
+    with scores as ({_cover_density_sql(FT_TERMS)})
+    select doc_id, s from scores
     order by s desc, doc_id asc limit {TOP_K * OVERFETCH}
   )
 ),
@@ -325,9 +421,36 @@ from toks
 group by doc_id, floor(pos / {CHUNK_TOKENS})
 """
 
+# --------------------------------------------------------------------------
+# J6: fused top-k → row rehydration. The reference rehydrates fused chunk
+# ids back to full rows (src/retrieval/search.py:35 →
+# src/storage/postgres.py:201-224 WHERE id = ANY(%s)); here the fused
+# (doc_id, score) set — tiny by construction — broadcasts into an equi-join
+# against the documents table (semi-join-with-payload; at 100 TB the
+# broadcast side is top_k rows, the big side prunes on doc_id).
+# --------------------------------------------------------------------------
+def hybrid_rrf_rehydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = hybrid_rrf(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(fused), "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "rrf_score"
+    )
+
+
+HYBRID_REHYDRATE_SQL = f"""
+with fused as ({HYBRID_RRF_SQL}),
+rehydrated as (
+  select d.doc_id, d.lang, d.source, d.n_chars, fused.rrf_score
+  from fused join documents d using (doc_id)
+)
+select * from rehydrated
+"""
+
 QUERIES = {
     "fulltext_topk": fulltext_topk,
+    "fulltext_topk_cd": fulltext_topk_cd,
     "hybrid_rrf": hybrid_rrf,
+    "hybrid_rrf_rehydrated": hybrid_rrf_rehydrated,
     "doc_meta_agg": doc_meta_agg,
     "doc_counts": doc_counts,
     "paginate_docs": paginate_docs,
@@ -339,7 +462,9 @@ QUERIES = {
 }
 ORACLES = {
     "fulltext_topk": FULLTEXT_SQL,
+    "fulltext_topk_cd": FULLTEXT_CD_SQL,
     "hybrid_rrf": HYBRID_RRF_SQL,
+    "hybrid_rrf_rehydrated": HYBRID_REHYDRATE_SQL,
     "doc_meta_agg": DOC_META_SQL,
     "doc_counts": DOC_COUNTS_SQL,
     "paginate_docs": PAGINATE_SQL,
@@ -406,9 +531,10 @@ def hybrid_search(
     sim = F.round(
         _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
     )
+    # fulltext side ranks by the cover-density score (ts_rank_cd analog) —
+    # term proximity/coverage reorders multi-term queries like the reference
     ft = (
-        docs.select("doc_id", term_frequency_col(F.col("text"), terms).alias("s"))
-        .filter(F.col("s") > 0)
+        cover_density_scores(docs, terms)
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(fetch)
     )

@@ -397,18 +397,37 @@ def lineage_from_blocks(blocks: DataFrame, run_id: str) -> DataFrame:
         )
         .otherwise(F.sum((~F.col("kind").isin("error", "empty")).cast("long")))
         .alias("n_blocks_out"),
+        F.current_timestamp().alias("ingested_at"),
     ).select("run_id", "partition_id", "doc_id", "status", "error",
-             "n_spans_in", "n_blocks_out")
+             "n_spans_in", "n_blocks_out", "ingested_at")
 
 
-def resume_filter(docs: DataFrame, lineage: DataFrame | None) -> DataFrame:
+def resume_filter(
+    docs: DataFrame, lineage: DataFrame | None, modified_col: str | None = None
+) -> DataFrame:
     """Skip already-processed documents: left anti join on the checkpoint
     (the reference's document_exists skip, src/storage/postgres.py:253-262,
-    cli/cli.py:166-168 — the resumability primitive of the north rule)."""
+    cli/cli.py:166-168 — the resumability primitive of the north rule).
+
+    ``modified_col`` (E17, reference is_file_modified src/utils.py:141-147):
+    name of a source timestamp column; a document already processed is
+    STILL re-ingested when ``docs[modified_col] > max(lineage.ingested_at)``
+    for it — the incremental re-ingest predicate. None keeps the pure
+    anti-join (never re-process)."""
     if lineage is None:
         return docs
-    done = lineage.filter(F.col("status") == "processed").select("doc_id").distinct()
-    return docs.join(done, "doc_id", "left_anti")
+    done = lineage.filter(F.col("status") == "processed")
+    if modified_col is None or "ingested_at" not in lineage.columns:
+        return docs.join(done.select("doc_id").distinct(), "doc_id", "left_anti")
+    last = done.groupBy("doc_id").agg(F.max("ingested_at").alias("_ingested_at"))
+    return (
+        docs.join(last, "doc_id", "left")
+        .filter(
+            F.col("_ingested_at").isNull()
+            | (F.col(modified_col) > F.col("_ingested_at"))
+        )
+        .drop("_ingested_at")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -463,6 +482,7 @@ def run_extraction(
             "error",
             "n_spans_in",
             F.col("order").cast("long").alias("n_blocks_out"),
+            F.current_timestamp().alias("ingested_at"),
         )
     elif mode == "spread":
         blocks = extract_blocks(explode_spans(todo), repartition_to=repartition_to)

@@ -88,5 +88,8 @@ LINEAGE_SCHEMA = StructType(
         StructField("error", StringType()),
         StructField("n_spans_in", LongType()),
         StructField("n_blocks_out", LongType()),
+        # commit time — the E17 re-ingest predicate compares the source's
+        # modified_at against max(ingested_at) (reference src/utils.py:141-147)
+        StructField("ingested_at", TimestampType()),
     ]
 )

@@ -65,3 +65,20 @@ def delete_document(spark: SparkSession, path: str, doc_id: str) -> None:
     df.write.mode("overwrite").parquet(path + ".tmp")
     truncate(path)
     os.rename(path + ".tmp", path)
+
+
+def delete_docs(spark: SparkSession, path: str, doc_ids: DataFrame) -> None:
+    """Delete all rows whose doc_id appears in ``doc_ids`` (a one-column
+    DataFrame) — the row-replacement step of modified-doc re-ingest (E17):
+    without it, the keyed idempotent appends would keep the STALE rows and
+    drop the re-extracted ones. On Iceberg this is
+    ``DELETE FROM t WHERE doc_id IN (...)`` / a MERGE; the parquet fallback
+    is a rewrite-minus (anti-join, then swap)."""
+    if not _has_parquet_files(path):
+        return
+    remaining = spark.read.parquet(path).join(
+        F.broadcast(doc_ids.select("doc_id").distinct()), "doc_id", "left_anti"
+    )
+    remaining.write.mode("overwrite").parquet(path + ".tmp")
+    truncate(path)
+    os.rename(path + ".tmp", path)

@@ -36,6 +36,11 @@ def main() -> None:
                    help="spread-mode round-robin width (skew defuse)")
     p.add_argument("--resume", action="store_true",
                    help="anti-join prior lineage at --output/lineage")
+    p.add_argument("--reingest-modified", action="store_true",
+                   help="with --resume: re-process docs whose modified_at "
+                        "column exceeds their last lineage ingested_at "
+                        "(E17, reference src/utils.py:141-147); their stale "
+                        "output rows are deleted before the append")
     p.add_argument("--run-id", default=None)
     p.add_argument("--embed", action="store_true",
                    help="attach embeddings to chunks (E14 stage)")
@@ -72,7 +77,21 @@ def main() -> None:
     # empty/duplicate rows for already-done docs on --resume)
     from docling_rag_spark.pipeline import resume_filter
 
-    todo = resume_filter(docs, prior)
+    modified_col = (
+        "modified_at"
+        if args.reingest_modified and "modified_at" in docs.columns
+        else None
+    )
+    todo = resume_filter(docs, prior, modified_col=modified_col)
+    if modified_col and prior is not None:
+        # row replacement for re-ingested docs: delete their stale rows so
+        # the keyed appends below insert the NEW extraction instead of
+        # dropping it (Iceberg: MERGE / DELETE WHERE doc_id IN ...)
+        from docling_rag_spark.sources.sinks import delete_docs
+
+        redo_ids = todo.select("doc_id").localCheckpoint(eager=True)
+        for sub in ("extracted_spans", "chunks", "doc_metadata"):
+            delete_docs(spark, os.path.join(args.output, sub), redo_ids)
     extracted, chunks, lineage = run_extraction(
         todo,
         run_id=run_id,

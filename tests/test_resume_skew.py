@@ -92,3 +92,50 @@ def test_unordered_span_arrays_are_reordered(spark):
            extracted.orderBy("order").collect()]
     assert got == [(0, "text", "first part of doc"), (1, "image", ""),
                    (2, "text", "third")]
+
+
+def test_modified_doc_reingest_predicate(spark):
+    """E17 (reference is_file_modified, src/utils.py:141-147): a processed
+    doc whose source modified_at exceeds its lineage ingested_at is
+    re-ingested; unmodified processed docs stay skipped; unseen docs run."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from docling_rag_spark.schemas import DOCUMENTS_SPANS_SCHEMA, LINEAGE_SCHEMA
+
+    t_ing = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # copy: StructType.add mutates in place — never touch the shared schema
+    schema = StructType(
+        list(DOCUMENTS_SPANS_SCHEMA.fields)
+        + [StructField("modified_at", TimestampType())]
+    )
+    span = [{"kind": "text", "text": "some words here", "media_ref": None, "offset": 0}]
+    docs = spark.createDataFrame(
+        [
+            ("stale", span, t_ing - dt.timedelta(hours=1)),   # processed, older
+            ("touched", span, t_ing + dt.timedelta(hours=1)),  # processed, newer
+            ("brandnew", span, t_ing + dt.timedelta(hours=2)),  # no lineage
+        ],
+        schema=schema,
+    )
+    lineage = spark.createDataFrame(
+        [
+            ("r1", 0, "stale", "processed", None, 1, 1, t_ing),
+            ("r1", 0, "touched", "processed", None, 1, 1, t_ing),
+        ],
+        schema=LINEAGE_SCHEMA,
+    )
+    todo = resume_filter(docs, lineage, modified_col="modified_at")
+    assert {r["doc_id"] for r in todo.collect()} == {"touched", "brandnew"}
+    # default (no modified_col): pure anti-join — touched stays skipped
+    assert {r["doc_id"] for r in resume_filter(docs, lineage).collect()} == {
+        "brandnew"
+    }
+    # integration: the re-ingest run extracts exactly those two docs
+    _, _, lin2 = run_extraction(docs, run_id="r2", prior_lineage=lineage)
+    # run_extraction's default resume is the anti-join; with the predicate:
+    todo2 = resume_filter(docs, lineage, modified_col="modified_at")
+    ex, _, lin3 = run_extraction(todo2, run_id="r3")
+    assert {r["doc_id"] for r in lin3.collect()} == {"touched", "brandnew"}
+    assert {r["doc_id"] for r in ex.collect()} == {"touched", "brandnew"}
