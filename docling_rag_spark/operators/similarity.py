@@ -177,24 +177,30 @@ ORACLES = {
 
 
 # --------------------------------------------------------------------------
-# IVF-style ANN: coarse quantization by centroid cell, probe 1 cell
+# IVF ANN: coarse quantization by TRAINED centroid cell, probe 1 cell.
+#
+# Training = deterministic Lloyd k-means: seeds are the K lowest vec_ids,
+# then KMEANS_ITERS assignment→mean rounds with EXACT arithmetic — each
+# dimension's mean is sum(round(x*10^6))::bigint / (10^6 * count), an
+# integer sum (order-independent) divided once in double — so the DuckDB
+# oracle replays the identical training inside static SQL and both engines
+# agree bit-for-bit. Empty cells keep their previous centroid.
+#
+# At 10^12 vectors this is the standard distributed recipe: assignment is
+# an embarrassingly-parallel broadcast crossJoin (K×DIM doubles), per-dim
+# means are one groupBy(cell, dim) shuffle of bigints, and the trained
+# cell id becomes the table's partition key (nprobe=1 scans 1/K of data).
 # --------------------------------------------------------------------------
 IVF_CENTROIDS = 8
 IVF_TOP_K = 5
+KMEANS_ITERS = 2
+_KM_SCALE = 1_000_000
 
 
-def _cell_assignment(spark: SparkSession, sf_dir: str):
-    """Deterministic IVF: centroids = the IVF_CENTROIDS lowest vec_ids
-    (a k-means stand-in that both engines reproduce exactly); cell(v) =
-    argmax cosine(v, centroid), ties → lowest centroid id. At 100 TB the
-    cell id is the table's partition key and a query scans 1/K of the data
-    (nprobe=1)."""
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """cell(v) = argmax cosine(v, centroid), ties → lowest centroid id."""
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
     sims = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "label",
@@ -213,14 +219,52 @@ def _cell_assignment(spark: SparkSession, sf_dir: str):
     )
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: score only the query's IVF cell (coarse-quantization pruning).
+def _train_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """KMEANS_ITERS Lloyd rounds; returns the trained (cid, cvec) DataFrame.
+    Centroids are collected to the driver between rounds (K×DIM doubles — a
+    broadcast-sized artifact, like any k-means implementation)."""
+    seeds = {
+        r["cid"]: [float(x) for x in r["cvec"]]
+        for r in emb.filter(F.col("vec_id") < IVF_CENTROIDS)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+        .collect()
+    }
+    cents = seeds
+    for _ in range(KMEANS_ITERS):
+        cents_df = spark.createDataFrame(
+            sorted(cents.items()), "cid int, cvec array<double>"
+        )
+        assigned = _assign_cells(emb, cents_df)
+        sums = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "d", "val"
+                ),
+            )
+            .withColumn("iv", F.round(F.col("val") * _KM_SCALE).cast("bigint"))
+            .groupBy("cell", "d")
+            .agg(F.sum("iv").alias("s"), F.count("*").alias("c"))
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in sums.collect():
+            new.setdefault(r["cell"], {})[r["d"]] = r["s"] / (_KM_SCALE * r["c"])
+        cents = {
+            cid: [new[cid][d] for d in range(DIM)] if cid in new else vec
+            for cid, vec in cents.items()
+        }
+    return spark.createDataFrame(sorted(cents.items()), "cid int, cvec array<double>")
 
-    The assignment is cached: the qcell lookup is an eager action and the
-    returned plan references the assignment again — uncached, the
-    crossJoin+window stage (the expensive part) would execute twice.
-    """
-    assigned = _cell_assignment(spark, sf_dir).cache()
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: score only the query's trained-IVF cell (coarse-quantization
+    pruning). The final assignment is cached: the qcell lookup is an eager
+    action and the returned plan references the assignment again."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = _assign_cells(emb, _train_centroids(spark, emb)).cache()
     q = _query_vec(spark, sf_dir)
     qcol = _lit_vec(q)
     qcell = (
@@ -237,12 +281,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KNN_IVF_SQL = f"""
-with cents as (
-  select vec_id as cid, embedding as cvec from embeddings
-  where vec_id < {IVF_CENTROIDS}
-),
-assigned as (
+def _assign_sql(cents: str, out: str) -> str:
+    return f"""
+{out} as materialized (
   select vec_id, label, embedding, cid as cell from (
     select e.vec_id, e.label, e.embedding, c.cid,
            row_number() over (
@@ -252,9 +293,45 @@ assigned as (
                          * sqrt({_dot_sql('c.cvec', 'c.cvec')})) desc,
                       c.cid asc
            ) as rn
-    from embeddings e cross join cents c
+    from embeddings e cross join {cents} c
   ) where rn = 1
+)"""
+
+
+def _mean_sql(assigned: str, prev: str, out: str) -> str:
+    """Exact per-dim means of one Lloyd round; empty cells inherit prev."""
+    return f"""
+{out}_m as materialized (
+  select cell, i,
+         sum(cast(round(embedding[i]::double * {_KM_SCALE}) as bigint))::double
+           / ({_KM_SCALE}.0 * count(*)) as cd
+  from {assigned}, unnest(range(1, {DIM} + 1)) as t(i)
+  group by cell, i
 ),
+{out} as materialized (
+  select cell as cid, list(cd order by i) as cvec from {out}_m group by cell
+  union all
+  select cid, cvec from {prev}
+  where cid not in (select cell from {out}_m)
+)"""
+
+
+def _knn_ivf_sql() -> str:
+    parts = [
+        f"""c0 as materialized (
+  select vec_id as cid, list_transform(embedding, x -> x::double) as cvec
+  from embeddings where vec_id < {IVF_CENTROIDS}
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(_assign_sql(prev, f"a{it}"))
+        parts.append(_mean_sql(f"a{it}", prev, f"c{it}"))
+        prev = f"c{it}"
+    parts.append(_assign_sql(prev, "assigned"))
+    ctes = ",\n".join(parts)
+    return f"""
+with {ctes},
 q as (
   select a.embedding as qv, a.cell as qcell
   from assigned a where a.vec_id = {QUERY_VEC_ID}
@@ -268,6 +345,9 @@ where cell = qcell and vec_id != {QUERY_VEC_ID}
 order by cosine_sim desc, vec_id asc
 limit {IVF_TOP_K}
 """
+
+
+KNN_IVF_SQL = _knn_ivf_sql()
 
 EMB_DEDUP_THRESHOLD = 0.35
 # Multi-band LSH for near-dup candidates: EMB_BANDS independent hyperplane
