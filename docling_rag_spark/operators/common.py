@@ -28,3 +28,14 @@ def hex4_to_int_sql(hex4: str) -> str:
     for i, mult in enumerate((4096, 256, 16, 1)):
         parts.append(f"(strpos('{_HEX}', substring({hex4}, {i + 1}, 1)) - 1) * {mult}")
     return "(" + " + ".join(parts) + ")"
+
+
+def hexn_to_bigint_sql(expr: str, n: int) -> str:
+    """First ``n`` hex chars of ``expr`` → bigint (DuckDB; n <= 15)."""
+    parts = []
+    for i in range(n):
+        mult = 16 ** (n - 1 - i)
+        parts.append(
+            f"(strpos('{_HEX}', substring({expr}, {i + 1}, 1)) - 1) * {mult}"
+        )
+    return "(" + " + ".join(parts) + ")"

@@ -65,20 +65,20 @@ def embed_udf():
 
 
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, embedding, embedding_norm). rows-only check
-    (vector output has no SQL oracle); determinism tested in pytest."""
+    """documents → (doc_id, embedding_norm, dim, e0, esum): a driver-sortable
+    projection of the embedding stage. The fake model is md5-derived, so the
+    DuckDB oracle replays the full encode (values, unit-normalization,
+    float32 quantization) — e0/esum make the check value-sensitive, all
+    rounded to 4 dp so a last-bit float32 boundary flip cannot flake it."""
     docs = table(spark, sf_dir, "documents")
     emb = docs.select("doc_id", embed_udf()(F.col("text")).alias("embedding"))
+    d = F.col("embedding").cast("array<double>")
     return emb.select(
         "doc_id",
         F.round(
             F.sqrt(
                 F.aggregate(
-                    F.zip_with(
-                        F.col("embedding").cast("array<double>"),
-                        F.col("embedding").cast("array<double>"),
-                        lambda x, y: x * y,
-                    ),
+                    F.zip_with(d, d, lambda x, y: x * y),
                     F.lit(0.0),
                     lambda a, x: a + x,
                 )
@@ -86,11 +86,43 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("embedding_norm"),
         F.size("embedding").alias("dim"),
+        F.round(F.element_at(d, 1), 4).alias("e0"),
+        F.round(F.aggregate(d, F.lit(0.0), lambda a, x: a + x), 4).alias("esum"),
     )
 
 
+def _embed_sql() -> str:
+    from .common import hexn_to_bigint_sql
+
+    h8 = hexn_to_bigint_sql("md5(i::varchar || '|' || coalesce(text, ''))", 8)
+    return f"""
+with raws as (
+  select doc_id,
+         list_transform(range(0, {EMBED_DIM}),
+                        i -> ({h8}::double / 4294967295.0) * 2.0 - 1.0) as raw
+  from documents
+),
+unit as (
+  select doc_id,
+         list_transform(raw,
+           x -> (x / sqrt(list_sum(list_transform(raw, y -> y * y))))::float
+         ) as emb
+  from raws
+)
+select doc_id,
+       round(sqrt(list_sum(list_transform(emb, x -> x::double * x::double))), 4)
+         as embedding_norm,
+       {EMBED_DIM}::int as dim,
+       round(emb[1]::double, 4) as e0,
+       round(list_sum(list_transform(emb, x -> x::double)), 4) as esum
+from unit
+"""
+
+
+EMBED_SQL = _embed_sql()
+
 QUERIES = {"embed_documents": embed_documents}
-ORACLES: dict[str, str] = {}  # rows-only: vector kernel, not SQL-expressible
+ORACLES: dict[str, str] = {"embed_documents": EMBED_SQL}
 
 
 def embed_chunks(chunks: DataFrame) -> DataFrame:

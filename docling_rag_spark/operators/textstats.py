@@ -106,6 +106,39 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of kernels.textutils.rolling_fingerprint: HUGEINT (int128)
+# carries the mod-2^61 polynomial arithmetic the kernel does in Python ints
+# (direct per-window formula — algebraically identical to the rolling
+# subtraction, property-verified). Powers of the base mod 2^61 are literals.
+def _fingerprint_sql() -> str:
+    from ..kernels.textutils import rolling_fingerprint  # noqa: F401  (spec)
+    from .common import hexn_to_bigint_sql
+
+    mod = 1 << 61
+    base = 1_000_003
+    w = 8
+    pows = "[" + ", ".join(str(pow(base, k, mod)) for k in range(w)) + "]"
+    return f"""
+with toks as (
+  select doc_id, {dsql.tokens_sql('text', lower=True)} as w from documents
+),
+vals as (
+  select doc_id, len(w) as n,
+         list_transform(w, t -> {hexn_to_bigint_sql('md5(t)', 8)}::hugeint) as v
+  from toks
+)
+select doc_id,
+  (case when n = 0 then 0 else
+    list_min(list_transform(range(0, n - least({w}, n) + 1), i ->
+      (list_sum(list_transform(range(0, least({w}, n)), j ->
+          v[i + j + 1] * ({pows}::hugeint[])[least({w}, n) - j])) % {mod})
+    )) end)::bigint as fingerprint
+from vals
+"""
+
+
+FINGERPRINT_SQL = _fingerprint_sql()
+
 QUERIES = {
     "text_tidy": tidy_docs,
     "text_quality": quality_scores,
@@ -116,7 +149,7 @@ ORACLES = {
     "text_tidy": TIDY_SQL,
     "text_quality": QUALITY_SQL,
     "text_langid": LANGID_SQL,
-    # text_fingerprint: rows-only (non-SQL-expressible modular arithmetic)
+    "text_fingerprint": FINGERPRINT_SQL,
 }
 
 
