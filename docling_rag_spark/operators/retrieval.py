@@ -507,6 +507,61 @@ ORACLES["events_daily"] = EVENTS_DAILY_SQL
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority: selective dim filter → fact join →
+# agg → top-k. The plan to want at 100 TB: customer filter broadcast into
+# orders, date filters pushed to both scans, partial agg before the
+# exchange, TakeOrderedAndProject for the top 10 (no global sort).
+# --------------------------------------------------------------------------
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < Q3_DATE)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > Q3_DATE)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(8,4)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+select l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice::decimal(18,4)
+                 * (1 - l_discount)::decimal(8,4)), 4)::double as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = '{Q3_SEGMENT}'
+  and o_orderdate < timestamp '{Q3_DATE}'
+  and l_shipdate > timestamp '{Q3_DATE}'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, l_orderkey asc
+limit 10
+"""
+
+QUERIES["shipping_priority"] = shipping_priority
+ORACLES["shipping_priority"] = SHIPPING_PRIORITY_SQL
+
+
+# --------------------------------------------------------------------------
 # U2: hybrid with vector-only fallback (reference src/retrieval/search.py:
 # 26-46 — if fulltext returns 0 rows, skip fusion, return pure vector top-k)
 # --------------------------------------------------------------------------

@@ -69,5 +69,48 @@ where s.n_tokens between {MIN_TOKENS} and {MAX_TOKENS_DOC}
   and s.doc_id not in (select doc_id from dups)
 """
 
-QUERIES = {"training_subset": training_subset}
-ORACLES = {"training_subset": TRAINING_SUBSET_SQL}
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling — the standard training-mix op at corpus
+# scale: take SAMPLE_K pseudo-random docs per (lang, source) stratum, with
+# md5(seed|doc_id) as the portable random order (no RNG state, identical on
+# every run/engine). One shuffle on the stratum key; the rate-based variant
+# (filter on the hash alone) would be shuffle-free — this quota form is the
+# harder, more useful one (balanced mixes regardless of stratum skew).
+# --------------------------------------------------------------------------
+SAMPLE_K = 20
+SAMPLE_SEED = "mix1"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("|", F.lit(SAMPLE_SEED), F.col("doc_id")))
+    w = Window.partitionBy("lang", "source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+select doc_id, lang, source, rk from (
+  select doc_id, lang, source,
+         row_number() over (
+           partition by lang, source
+           order by md5('{SAMPLE_SEED}' || '|' || doc_id::varchar), doc_id
+         ) as rk
+  from documents
+) where rk <= {SAMPLE_K}
+"""
+
+QUERIES = {
+    "training_subset": training_subset,
+    "stratified_sample": stratified_sample,
+}
+ORACLES = {
+    "training_subset": TRAINING_SUBSET_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+}

@@ -52,10 +52,11 @@ def stream_ingest(
         # document_exists skip / ON CONFLICT DO NOTHING semantics,
         # src/storage/postgres.py:104-106,253-262); dropDuplicates handles a
         # doc appearing twice INSIDE one micro-batch.
-        from ..sources.sinks import idempotent_append
+        from ..sources.sinks import _has_parquet_files, idempotent_append
 
         prior = None
-        if os.path.exists(os.path.join(lineage_dir, "_SUCCESS")):
+        if _has_parquet_files(lineage_dir):  # not the _SUCCESS marker: a
+            # partially-committed lineage dir must still drive the anti-join
             prior = spark.read.parquet(lineage_dir)
         extracted, chunks, lineage = run_extraction(
             batch_df.dropDuplicates(["doc_id"]),

@@ -67,9 +67,11 @@ def main() -> None:
     else:
         docs = spark.read.parquet(args.input)
 
+    from docling_rag_spark.sources.sinks import _has_parquet_files
+
     lineage_dir = os.path.join(args.output, "lineage")
     prior = None
-    if args.resume and os.path.exists(os.path.join(lineage_dir, "_SUCCESS")):
+    if args.resume and _has_parquet_files(lineage_dir):
         prior = spark.read.parquet(lineage_dir)
 
     # resume-filter ONCE here so doc_metadata below also sees only the docs

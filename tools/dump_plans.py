@@ -20,9 +20,12 @@ COMMENT = {
         "groupBy/window downstream."
     ),
     "chunk_spans": (
-        "Chunker: one Exchange on doc_id feeds BOTH windows (running token "
-        "sum + chunk_index rank) and the groupBy — Catalyst reuses the "
-        "partitioning; whole-stage codegen covers the expression work."
+        "Chunker (spec v2): the chunkable-kind/text filter sits under ONE "
+        "hash Exchange on doc_id + in-partition Sort, then a single "
+        "MapInPandas packer (greedy+heading state streams across Arrow "
+        "batches); the md5 id stays a codegen Project above it. Same "
+        "exchange count as the old window+groupBy plan, with true greedy "
+        "semantics windows cannot express."
     ),
     "knn_bruteforce": (
         "Vector top-k: TakeOrderedAndProject = distributed partial top-k per "
