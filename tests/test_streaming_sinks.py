@@ -55,3 +55,21 @@ def test_idempotent_append(spark, tmp_path):
     idempotent_append(spark, df2, path)
     got = spark.read.parquet(path).orderBy("id").collect()
     assert [(r["id"], r["v"]) for r in got] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_idempotent_append_partial_target_not_overwritten(spark, tmp_path):
+    """A target holding parquet WITHOUT a _SUCCESS marker (partially
+    committed job / foreign writer) must be anti-joined against, never
+    silently overwritten (ADVICE r1)."""
+    import os
+
+    from docling_rag_spark.sources.sinks import idempotent_append
+
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    first.coalesce(1).write.parquet(path)
+    os.remove(os.path.join(path, "_SUCCESS"))  # simulate partial commit
+    second = spark.createDataFrame([(2, "b"), (3, "c")], "id int, v string")
+    idempotent_append(spark, second, path, key="id")
+    got = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]  # old rows survive, no dups
