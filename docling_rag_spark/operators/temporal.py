@@ -168,11 +168,72 @@ select user_id, session_id,
 from sess group by user_id, session_id
 """
 
+# --------------------------------------------------------------------------
+# range join: for each event, the same user's FOLLOWING events within
+# RANGE_HOURS (the session-neighborhood query). Spark has no native range
+# join; the naive theta join is O(n·m) per user. Scale-safe shape:
+# time-bucket both sides at the window width — the probe side explodes to
+# the ≤2 buckets its window overlaps, the join is a plain equi-join on
+# (user_id, bucket), and the exact range predicate filters the candidates.
+# Each build-side event lives in exactly ONE bucket, so no pair can match
+# twice (no distinct needed). At 100 TB both sides shuffle once on
+# (user_id, bucket) — bounded fan-out, AQE handles residual skew.
+# --------------------------------------------------------------------------
+RANGE_HOURS = 6
+_RANGE_US = RANGE_HOURS * 3_600 * 1_000_000
+
+
+def range_join_event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
+    )
+    build = ev.select(
+        "user_id",
+        F.col("event_id").alias("next_event_id"),
+        F.col("event_type").alias("next_event_type"),
+        F.col("te").alias("tn"),
+    ).withColumn("bucket", F.floor(F.col("tn") / _RANGE_US))
+    probes = ev.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("te") / _RANGE_US),
+                F.floor(F.col("te") / _RANGE_US) + 1,
+            )
+        ),
+    )
+    return (
+        probes.join(build, ["user_id", "bucket"])
+        .filter(
+            (F.col("next_event_id") != F.col("event_id"))
+            & (F.col("tn") >= F.col("te"))
+            & (F.col("tn") < F.col("te") + _RANGE_US)
+        )
+        .select("user_id", "event_id", "next_event_id", "next_event_type")
+    )
+
+
+# oracle: the plain inequality join (DuckDB plans it natively) —
+# result-set equality proves the bucketed rewrite is lossless
+RANGE_JOIN_SQL = f"""
+select a.user_id, a.event_id, b.event_id as next_event_id,
+       b.event_type as next_event_type
+from events a join events b
+  on a.user_id = b.user_id and b.event_id != a.event_id
+ and epoch_us(b.ts) >= epoch_us(a.ts)
+ and epoch_us(b.ts) < epoch_us(a.ts) + {_RANGE_US}
+"""
+
 QUERIES = {
     "asof_join": asof_join_orders_events,
     "sessionize_events": sessionize_events,
+    "range_join": range_join_event_neighbors,
 }
 ORACLES = {
     "asof_join": ASOF_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "range_join": RANGE_JOIN_SQL,
 }

@@ -183,3 +183,18 @@ def test_embedding_lsh_buckets_scale_with_n():
         if n <= EMB_TARGET_OCCUPANCY * (1 << EMB_PLANES_MAX):
             assert n / nb <= EMB_TARGET_OCCUPANCY
     assert _num_buckets(10**12) == 1 << EMB_PLANES_MAX
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed range join must compile to an equi (hash) join on
+    (user_id, bucket) — a theta/nested-loop plan would be O(n*m) per user."""
+    from docling_rag_spark.operators.temporal import range_join_event_neighbors
+
+    plan = (
+        range_join_event_neighbors(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
