@@ -112,6 +112,7 @@ def main() -> None:
     # Report the warm run as the metric; keep the cold run alongside.
     cold: dict[str, float] = {}
     for name in HEADLINE:
+        spark.catalog.clearCache()  # cold must not see the PREVIOUS query's caches
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)

@@ -24,10 +24,7 @@ def hex4_to_int_col(hex4: Column) -> Column:
 
 def hex4_to_int_sql(hex4: str) -> str:
     """DuckDB mirror: positional digit arithmetic (no conv() in DuckDB)."""
-    parts = []
-    for i, mult in enumerate((4096, 256, 16, 1)):
-        parts.append(f"(strpos('{_HEX}', substring({hex4}, {i + 1}, 1)) - 1) * {mult}")
-    return "(" + " + ".join(parts) + ")"
+    return hexn_to_bigint_sql(hex4, 4)
 
 
 def hexn_to_bigint_sql(expr: str, n: int) -> str:

@@ -162,7 +162,7 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
 
     # document frequency via a window count — ONE shuffle on shingle, which
     # also pre-partitions both self-join sides (no join-back needed)
-    kept = (
+    sh = (
         shingle_rows.withColumn(
             "df", F.count("*").over(Window.partitionBy("shingle"))
         )
@@ -172,7 +172,6 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
         # — uncached, the shingle generation executes three times per job
         .cache()
     )
-    sh = kept
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

@@ -380,7 +380,19 @@ def doc_metadata(docs: DataFrame, extracted: DataFrame, chunks: DataFrame) -> Da
 # --------------------------------------------------------------------------
 # lineage + resume (north_rule; reference skip-if-ingested, E16/E17)
 # --------------------------------------------------------------------------
-def lineage_from_blocks(blocks: DataFrame, run_id: str) -> DataFrame:
+def _run_ts_col(run_ts) -> "F.Column":
+    """ingested_at stamp = the JOB START time (conservative): a commit-time
+    stamp would mask any source modification that lands while the job runs —
+    modified_at(T1 during job) < ingested_at(commit T2) and the E17
+    predicate would never re-ingest it. Fixed per run, not per action:
+    current_timestamp() re-evaluates per materialization."""
+    from datetime import datetime, timezone
+
+    ts = run_ts or datetime.now(timezone.utc)
+    return F.to_timestamp(F.lit(ts.strftime("%Y-%m-%d %H:%M:%S.%f")))
+
+
+def lineage_from_blocks(blocks: DataFrame, run_id: str, run_ts=None) -> DataFrame:
     """Per-document checkpoint/metrics rows (FIXTURES.md F4)."""
     return blocks.groupBy("doc_id").agg(
         F.lit(run_id).alias("run_id"),
@@ -397,7 +409,7 @@ def lineage_from_blocks(blocks: DataFrame, run_id: str) -> DataFrame:
         )
         .otherwise(F.sum((~F.col("kind").isin("error", "empty")).cast("long")))
         .alias("n_blocks_out"),
-        F.current_timestamp().alias("ingested_at"),
+        _run_ts_col(run_ts).alias("ingested_at"),
     ).select("run_id", "partition_id", "doc_id", "status", "error",
              "n_spans_in", "n_blocks_out", "ingested_at")
 
@@ -440,6 +452,7 @@ def run_extraction(
     repartition_to: int | None = None,
     persist_blocks: bool = False,
     mode: str = "narrow",
+    run_ts=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full pipeline → (extracted_spans, chunks, lineage).
 
@@ -482,7 +495,7 @@ def run_extraction(
             "error",
             "n_spans_in",
             F.col("order").cast("long").alias("n_blocks_out"),
-            F.current_timestamp().alias("ingested_at"),
+            _run_ts_col(run_ts).alias("ingested_at"),
         )
     elif mode == "spread":
         blocks = extract_blocks(explode_spans(todo), repartition_to=repartition_to)
@@ -491,7 +504,7 @@ def run_extraction(
 
             blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
         extracted = order_spans(blocks)
-        lineage = lineage_from_blocks(blocks, run_id)
+        lineage = lineage_from_blocks(blocks, run_id, run_ts=run_ts)
     else:
         raise ValueError(f"unknown mode {mode!r} (narrow|spread)")
     chunks = chunk_spans(extracted)

@@ -29,6 +29,7 @@ def idempotent_append(
     """
     keys = [key] if isinstance(key, str) else list(key)
     new = df.dropDuplicates(keys)
+    _recover_swap(path)
     # branch on actual data files, NOT the _SUCCESS marker: a target holding
     # parquet without the marker (partially-committed job, foreign writer)
     # must be anti-joined against, never silently overwritten
@@ -58,13 +59,33 @@ def truncate(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def _recover_swap(path: str) -> None:
+    """Heal an interrupted rewrite-minus swap: a crash between truncate(path)
+    and rename(tmp→path) leaves the data only in path+'.tmp'. If the target
+    is gone and the tmp is a COMPLETE write (_SUCCESS), adopt it; any other
+    leftover tmp (crash before the truncate) is stale and discarded — the
+    target is still intact, so the delete simply never happened."""
+    tmp = path + ".tmp"
+    if not os.path.isdir(tmp):
+        return
+    if not os.path.isdir(path) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+    else:
+        truncate(tmp)
+
+
+def _swap_in(path: str) -> None:
+    truncate(path)
+    os.rename(path + ".tmp", path)
+
+
 def delete_document(spark: SparkSession, path: str, doc_id: str) -> None:
     """Reference remove_document DELETE WHERE doc_id (postgres.py:346-361).
     Parquet has no row-level delete; rewrite-minus (Iceberg: DELETE FROM)."""
+    _recover_swap(path)
     df = spark.read.parquet(path).filter(F.col("doc_id") != doc_id)
     df.write.mode("overwrite").parquet(path + ".tmp")
-    truncate(path)
-    os.rename(path + ".tmp", path)
+    _swap_in(path)
 
 
 def delete_docs(spark: SparkSession, path: str, doc_ids: DataFrame) -> None:
@@ -73,12 +94,13 @@ def delete_docs(spark: SparkSession, path: str, doc_ids: DataFrame) -> None:
     without it, the keyed idempotent appends would keep the STALE rows and
     drop the re-extracted ones. On Iceberg this is
     ``DELETE FROM t WHERE doc_id IN (...)`` / a MERGE; the parquet fallback
-    is a rewrite-minus (anti-join, then swap)."""
+    is a rewrite-minus (anti-join, write tmp, swap — with crash recovery
+    via _recover_swap on every entry)."""
+    _recover_swap(path)
     if not _has_parquet_files(path):
         return
     remaining = spark.read.parquet(path).join(
         F.broadcast(doc_ids.select("doc_id").distinct()), "doc_id", "left_anti"
     )
     remaining.write.mode("overwrite").parquet(path + ".tmp")
-    truncate(path)
-    os.rename(path + ".tmp", path)
+    _swap_in(path)

@@ -84,22 +84,50 @@ def main() -> None:
         if args.reingest_modified and "modified_at" in docs.columns
         else None
     )
+    # an interrupted re-ingest leaves output rows deleted but lineage still
+    # 'processed' — resuming WITHOUT --reingest-modified would then skip
+    # those docs forever. The marker forces the operator to finish what was
+    # started (the modified-predicate recomputes the same redo set, deletes
+    # are idempotent, and the run converges).
+    pending_marker = os.path.join(args.output, "_reingest_pending")
+    if os.path.exists(pending_marker) and not args.reingest_modified:
+        raise SystemExit(
+            "a previous --reingest-modified run was interrupted mid-replace; "
+            "rerun with --resume --reingest-modified to converge"
+        )
     todo = resume_filter(docs, prior, modified_col=modified_col)
     if modified_col and prior is not None:
         # row replacement for re-ingested docs: delete their stale rows so
         # the keyed appends below insert the NEW extraction instead of
-        # dropping it (Iceberg: MERGE / DELETE WHERE doc_id IN ...)
+        # dropping it (Iceberg: MERGE / DELETE WHERE doc_id IN ...). Only
+        # docs that actually HAVE committed output (a processed lineage
+        # row) are rewritten — brand-new docs must not trigger a
+        # full-table rewrite — and an empty redo set skips it entirely.
+        from pyspark.sql import functions as F
+
         from docling_rag_spark.sources.sinks import delete_docs
 
-        redo_ids = todo.select("doc_id").localCheckpoint(eager=True)
-        for sub in ("extracted_spans", "chunks", "doc_metadata"):
-            delete_docs(spark, os.path.join(args.output, sub), redo_ids)
+        done_ids = prior.filter(F.col("status") == "processed").select(
+            "doc_id"
+        ).distinct()
+        redo_ids = (
+            todo.select("doc_id").join(done_ids, "doc_id", "left_semi")
+        ).localCheckpoint(eager=True)
+        if redo_ids.limit(1).count() > 0:
+            open(pending_marker, "w").close()
+            for sub in ("extracted_spans", "chunks", "doc_metadata"):
+                delete_docs(spark, os.path.join(args.output, sub), redo_ids)
+    from datetime import datetime, timezone
+
     extracted, chunks, lineage = run_extraction(
         todo,
         run_id=run_id,
         mode=args.mode,
         repartition_to=args.repartition_to,
         persist_blocks=True,  # all four outputs materialize from one kernel pass
+        # conservative ingested_at = job start: a source modified DURING the
+        # job must still trip the E17 predicate on the next run
+        run_ts=datetime.now(timezone.utc),
     )
     # Exactly-once across crashes: every output is an idempotent keyed
     # append, and the lineage COMMIT is written LAST — a job killed between
@@ -123,6 +151,8 @@ def main() -> None:
         spark, meta, os.path.join(args.output, "doc_metadata"), key="doc_id"
     )
     idempotent_append(spark, lineage, lineage_dir, key=["run_id", "doc_id"])
+    if os.path.exists(pending_marker):
+        os.remove(pending_marker)  # replacement fully committed
 
     n = lineage.sparkSession.read.parquet(lineage_dir)
     from pyspark.sql import functions as F

@@ -133,8 +133,6 @@ def test_modified_doc_reingest_predicate(spark):
         "brandnew"
     }
     # integration: the re-ingest run extracts exactly those two docs
-    _, _, lin2 = run_extraction(docs, run_id="r2", prior_lineage=lineage)
-    # run_extraction's default resume is the anti-join; with the predicate:
     todo2 = resume_filter(docs, lineage, modified_col="modified_at")
     ex, _, lin3 = run_extraction(todo2, run_id="r3")
     assert {r["doc_id"] for r in lin3.collect()} == {"touched", "brandnew"}
