@@ -282,17 +282,94 @@ select doc_id,
 from bits group by doc_id
 """
 
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs: banded candidate generation over the 16-bit hash
+# (4 nibbles; a pair is a candidate iff it collides in >=1 nibble — by the
+# pigeonhole principle this catches EVERY pair with hamming distance <= 3),
+# then the exact bit_count(xor) <= 3 filter. Same shape as the other LSH
+# joins: union of 4 tiny equi-joins, never all-pairs.
+# --------------------------------------------------------------------------
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING_MAX = 3  # < SIMHASH_BANDS → banding is lossless (pigeonhole)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash_docs(spark, sf_dir)
+    band_cols = [
+        (F.shiftright(F.col("simhash"), 4 * b) % 16).alias(f"b{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    keyed = sigs.select("doc_id", "simhash", *band_cols).cache()
+    cand = None
+    for b in range(SIMHASH_BANDS):
+        a = keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("ha"),
+            F.col(f"b{b}").alias("bk"),
+        )
+        bb = keyed.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("hb"),
+            F.col(f"b{b}").alias("bk"),
+        )
+        p = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "ha", "hb"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    return (
+        cand.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    band_cols = ",\n         ".join(
+        f"(simhash >> {4 * b}) % 16 as b{b}" for b in range(SIMHASH_BANDS)
+    )
+    band_joins = "\n    union all\n    ".join(
+        f"select a.doc_id as doc_a, b.doc_id as doc_b, a.simhash as ha, "
+        f"b.simhash as hb from keyed a join keyed b "
+        f"on a.b{b} = b.b{b} and a.doc_id < b.doc_id"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+with sims as materialized ({SIMHASH_SQL.strip()}),
+keyed as materialized (
+  select doc_id, simhash,
+         {band_cols}
+  from sims
+),
+cand as materialized (
+  select distinct doc_a, doc_b, ha, hb from (
+    {band_joins}
+  )
+)
+select doc_a, doc_b, bit_count(xor(ha, hb))::int as hamming
+from cand
+where bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_simhash": simhash_docs,
+    "dedup_simhash_pairs": simhash_pairs,
 }
 ORACLES = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": SIMHASH_SQL,
+    "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
 }
 
 

@@ -198,3 +198,28 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_band_pigeonhole_lossless():
+    """4-nibble banding catches EVERY pair within SIMHASH_HAMMING_MAX: at
+    most 3 differing bits cannot touch all 4 nibbles (pigeonhole), so the
+    candidate join loses no qualifying pair."""
+    import itertools
+    import random
+
+    from docling_rag_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_HAMMING_MAX,
+    )
+
+    assert SIMHASH_HAMMING_MAX < SIMHASH_BANDS
+    rng = random.Random(11)
+    for _ in range(2000):
+        a = rng.getrandbits(16)
+        flip = rng.sample(range(16), rng.randint(0, SIMHASH_HAMMING_MAX))
+        b = a
+        for bit in flip:
+            b ^= 1 << bit
+        nibbles_a = [(a >> (4 * i)) % 16 for i in range(SIMHASH_BANDS)]
+        nibbles_b = [(b >> (4 * i)) % 16 for i in range(SIMHASH_BANDS)]
+        assert any(x == y for x, y in zip(nibbles_a, nibbles_b))
