@@ -11,8 +11,8 @@ Scale notes (100 TB):
   and the candidate self-join shuffle only (doc_id, 32-char hash) pairs,
   never the text. The self-join key (band, signature) is exactly the LSH
   bucketing that keeps candidate pairs ~linear instead of O(n²).
-- simhash: explode(tokens)×16 bit positions is wide but all codegen;
-  per-doc state is 16 counters.
+- simhash: explode(tokens)×32 bit positions is wide but all codegen;
+  per-doc state is 32 counters.
 
 Plan-shape caveat (measured): explode() must sit DIRECTLY over the array
 expression — materializing the array in its own aliased projection first
@@ -27,11 +27,11 @@ from pyspark.sql import functions as F
 
 from ..functions.duckdb_sql import shingles_sql, tokens_sql
 from ..functions.text import tokens_col
-from .common import hex4_to_int_sql, table
+from .common import hexn_to_bigint_sql, table
 
 NUM_BANDS = 4
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 
 # --------------------------------------------------------------------------
@@ -228,14 +228,17 @@ where round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) >= {JACCARD_THRESH
 # SimHash (portable 16-bit variant; 64-bit python version in kernels)
 # --------------------------------------------------------------------------
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 16-bit simhash over lowercase tokens; token hash = first 4 hex
-    chars of md5(token) → int. Pure codegen: explode(tokens) × 16 bits."""
+    """Per-doc 32-bit simhash over lowercase tokens; token hash = first 8 hex
+    chars of md5(token) → int. Pure codegen: explode(tokens) × 32 bits.
+    (16 bits was too coarse at corpus scale: over a small vocabulary 12.6%
+    of ALL pairs landed within hamming 3 — 32 bits restores selectivity at
+    2× the per-token bit work, still all codegen.)"""
     # no repartition: scan splits already parallelize the explode; a blind
     # full shuffle of document text only adds cost at scale
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("tok")
-    ).withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))
+    ).withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"))
     bits = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
@@ -267,7 +270,7 @@ with toks as (
   select doc_id, unnest({tokens_sql('text', lower=True)}) as tok from documents
 ),
 hv as (
-  select doc_id, {hex4_to_int_sql("md5(tok)")} as hv from toks
+  select doc_id, {hexn_to_bigint_sql('md5(tok)', 8)} as hv from toks
 ),
 bits as (
   select doc_id, j,
@@ -283,20 +286,26 @@ from bits group by doc_id
 """
 
 # --------------------------------------------------------------------------
-# SimHash near-dup pairs: banded candidate generation over the 16-bit hash
-# (4 nibbles; a pair is a candidate iff it collides in >=1 nibble — by the
-# pigeonhole principle this catches EVERY pair with hamming distance <= 3),
-# then the exact bit_count(xor) <= 3 filter. Same shape as the other LSH
-# joins: union of 4 tiny equi-joins, never all-pairs.
+# SimHash near-dup pairs: banded candidate generation over the 32-bit hash
+# (4 bands of 8 bits; a pair is a candidate iff it collides in >=1 band —
+# by the pigeonhole principle 4 bands catch EVERY pair with hamming
+# distance <= 3), then the exact bit_count(xor) <= 3 filter. Band width is
+# a candidate-volume knob: 8-bit bands give 256 buckets/band (expected
+# occupancy n/256 — at larger n widen the bands, exactly like the
+# embedding LSH's size-scaled buckets). Never all-pairs.
 # --------------------------------------------------------------------------
 SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 8
 SIMHASH_HAMMING_MAX = 3  # < SIMHASH_BANDS → banding is lossless (pigeonhole)
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_docs(spark, sf_dir)
     band_cols = [
-        (F.shiftright(F.col("simhash"), 4 * b) % 16).alias(f"b{b}")
+        (
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b)
+            % (1 << SIMHASH_BAND_BITS)
+        ).alias(f"b{b}")
         for b in range(SIMHASH_BANDS)
     ]
     keyed = sigs.select("doc_id", "simhash", *band_cols).cache()
@@ -329,7 +338,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_pairs_sql() -> str:
     band_cols = ",\n         ".join(
-        f"(simhash >> {4 * b}) % 16 as b{b}" for b in range(SIMHASH_BANDS)
+        f"(simhash >> {SIMHASH_BAND_BITS * b}) % {1 << SIMHASH_BAND_BITS} as b{b}"
+        for b in range(SIMHASH_BANDS)
     )
     band_joins = "\n    union all\n    ".join(
         f"select a.doc_id as doc_a, b.doc_id as doc_b, a.simhash as ha, "

@@ -26,7 +26,7 @@ def test_simhash_matches_python(spark):
     def simhash16(text: str) -> int:
         counts = [0] * SIMHASH_BITS
         for t in [w.lower() for w in tokenize(text)]:
-            hv = int(md5_hex(t)[:4], 16)
+            hv = int(md5_hex(t)[: SIMHASH_BITS // 4], 16)
             for j in range(SIMHASH_BITS):
                 counts[j] += 1 if (hv >> j) & 1 else -1
         return sum(1 << j for j in range(SIMHASH_BITS) if counts[j] > 0)
@@ -201,9 +201,9 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
 
 
 def test_simhash_band_pigeonhole_lossless():
-    """4-nibble banding catches EVERY pair within SIMHASH_HAMMING_MAX: at
-    most 3 differing bits cannot touch all 4 nibbles (pigeonhole), so the
-    candidate join loses no qualifying pair."""
+    """Banding catches EVERY pair within SIMHASH_HAMMING_MAX: at most 3
+    differing bits cannot touch all 4 bands (pigeonhole), so the candidate
+    join loses no qualifying pair."""
     import itertools
     import random
 
@@ -213,13 +213,17 @@ def test_simhash_band_pigeonhole_lossless():
     )
 
     assert SIMHASH_HAMMING_MAX < SIMHASH_BANDS
+    from docling_rag_spark.operators.dedup import SIMHASH_BAND_BITS, SIMHASH_BITS
+
+    assert SIMHASH_BANDS * SIMHASH_BAND_BITS == SIMHASH_BITS
     rng = random.Random(11)
     for _ in range(2000):
-        a = rng.getrandbits(16)
-        flip = rng.sample(range(16), rng.randint(0, SIMHASH_HAMMING_MAX))
+        a = rng.getrandbits(SIMHASH_BITS)
+        flip = rng.sample(range(SIMHASH_BITS), rng.randint(0, SIMHASH_HAMMING_MAX))
         b = a
         for bit in flip:
             b ^= 1 << bit
-        nibbles_a = [(a >> (4 * i)) % 16 for i in range(SIMHASH_BANDS)]
-        nibbles_b = [(b >> (4 * i)) % 16 for i in range(SIMHASH_BANDS)]
-        assert any(x == y for x, y in zip(nibbles_a, nibbles_b))
+        w = SIMHASH_BAND_BITS
+        bands_a = [(a >> (w * i)) % (1 << w) for i in range(SIMHASH_BANDS)]
+        bands_b = [(b >> (w * i)) % (1 << w) for i in range(SIMHASH_BANDS)]
+        assert any(x == y for x, y in zip(bands_a, bands_b))
