@@ -37,6 +37,17 @@ COMMENT = {
         "partial HashAggregate before the Exchange (map-side combine) then "
         "final agg; ReadSchema prunes to the 7 needed columns."
     ),
+    "range_join": (
+        "Bucketed range join: both sides time-bucketed at the window width, "
+        "probe side explodes to <=2 buckets, plain equi-join on (user_id, "
+        "bucket) + exact range filter — no BroadcastNestedLoopJoin/Cartesian "
+        "anywhere (asserted in tests)."
+    ),
+    "fulltext_topk_cd": (
+        "Cover-density fulltext: posexplode tokens -> filter to query-term "
+        "hits (tiny) -> one Exchange on doc_id serving the lag window AND "
+        "the groupBy -> TakeOrderedAndProject top-k."
+    ),
     "revenue_by_nation": (
         "Star join: both dims broadcast (BroadcastHashJoin ×2) — zero "
         "shuffle of the fact side until the final 1-row-per-nation agg."
@@ -82,6 +93,11 @@ def main() -> None:
     plans["revenue_by_nation"] = revenue_by_nation(spark, sf)
     plans["dedup_minhash_lsh"] = minhash_lsh_pairs(spark, sf)
     plans["resume_filter"] = resume_filter(corpus, lineage)
+    from docling_rag_spark.operators.retrieval import fulltext_topk_cd
+    from docling_rag_spark.operators.temporal import range_join_event_neighbors
+
+    plans["range_join"] = range_join_event_neighbors(spark, sf)
+    plans["fulltext_topk_cd"] = fulltext_topk_cd(spark, sf)
 
     out = ["# PLANS — physical plans of the flagship operators",
            "",
