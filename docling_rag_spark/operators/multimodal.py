@@ -170,11 +170,127 @@ select doc_id,
 from t
 """
 
+# --------------------------------------------------------------------------
+# resize / frame-sample (the remaining multimodal verbs): same mapInPandas
+# plumbing as the decode kernel. Real resampling needs the absent media
+# libs, so the byte transform is the deterministic fake (md5 of the
+# payload hex + params); the geometry/sampling math is real and frozen:
+# - images resize to fit RESIZE_MAX px (aspect-preserving floor division),
+#   one sample
+# - audio frame-samples at 1 frame/sec of duration (>=1), offsets in ms
+# --------------------------------------------------------------------------
+RESIZE_MAX = 256
+FRAME_HZ_MS = 1000
+
+
+def _transform_one(
+    kind: str, content: bytes, w: int, h: int, dur: int | None
+) -> tuple[int, int, int, str]:
+    if kind == "image":
+        g = max(w, h)
+        if g <= RESIZE_MAX:
+            ow, oh = w, h
+        else:
+            ow, oh = w * RESIZE_MAX // g, h * RESIZE_MAX // g
+        offsets = [0]
+    else:  # audio: no geometry; sample 1 frame per second of duration
+        ow, oh = w, h
+        n = max(1, (dur or 0) // FRAME_HZ_MS)
+        offsets = [i * FRAME_HZ_MS for i in range(n)]
+    key = f"{(content or b'').hex()}|{ow}x{oh}|{','.join(map(str, offsets))}"
+    return ow, oh, len(offsets), hashlib.md5(key.encode()).hexdigest()
+
+
+def _transform_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    for pdf in batches:
+        ows, ohs, ns, md5s = [], [], [], []
+        for kind, content, w, h, dur in zip(
+            pdf["media_kind"], pdf["content"], pdf["width"], pdf["height"],
+            pdf["duration_ms"],
+        ):
+            ow, oh, n, m = _transform_one(
+                kind,
+                bytes(content) if content is not None else b"",
+                int(w),
+                int(h),
+                None if pd.isna(dur) else int(dur),
+            )
+            ows.append(ow)
+            ohs.append(oh)
+            ns.append(n)
+            md5s.append(m)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "media_kind": pdf["media_kind"],
+                "out_w": ows,
+                "out_h": ohs,
+                "n_samples": ns,
+                "transform_md5": md5s,
+            }
+        )
+
+
+TRANSFORM_SCHEMA = (
+    "doc_id long, media_ref string, media_kind string, out_w int, out_h int, "
+    "n_samples int, transform_md5 string"
+)
+
+
+def media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_media(spark, sf_dir).mapInPandas(
+        _transform_kernel, schema=TRANSFORM_SCHEMA
+    )
+
+
+def _media_transform_sql() -> str:
+    # mirror of _transform_one over the synth_media derivation
+    w = "(doc_id % 1920 + 16)"
+    h = "(doc_id % 1080 + 16)"
+    g = f"greatest({w}, {h})"
+    ow = f"(case when {g} <= {RESIZE_MAX} then {w} else {w} * {RESIZE_MAX} // {g} end)"
+    oh = f"(case when {g} <= {RESIZE_MAX} then {h} else {h} * {RESIZE_MAX} // {g} end)"
+    dur = f"(doc_id % 60000)"
+    n_aud = f"greatest(1, {dur} // {FRAME_HZ_MS})"
+    aud_offsets = (
+        f"array_to_string(list_transform(range(0, {n_aud}),"
+        f" i -> i * {FRAME_HZ_MS}), ',')"
+    )
+    hexpayload = "md5(doc_id::varchar || '|' || text)"
+    return f"""
+select doc_id,
+       'img://' || doc_id::varchar as media_ref,
+       case when doc_id % 3 = 0 then 'audio' else 'image' end as media_kind,
+       (case when doc_id % 3 = 0 then (doc_id % 1920 + 16) else {ow} end)::int
+         as out_w,
+       (case when doc_id % 3 = 0 then (doc_id % 1080 + 16) else {oh} end)::int
+         as out_h,
+       (case when doc_id % 3 = 0 then {n_aud} else 1 end)::int as n_samples,
+       md5({hexpayload} || '|' ||
+           (case when doc_id % 3 = 0 then (doc_id % 1920 + 16) else {ow} end)
+             ::varchar
+           || 'x' ||
+           (case when doc_id % 3 = 0 then (doc_id % 1080 + 16) else {oh} end)
+             ::varchar
+           || '|' ||
+           (case when doc_id % 3 = 0 then {aud_offsets} else '0' end))
+         as transform_md5
+from documents
+"""
+
+
+MEDIA_TRANSFORM_SQL = _media_transform_sql()
+
 QUERIES = {
     "media_features": media_features,
     "media_stats": media_stats,
+    "media_transform": media_transform,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "media_stats": MEDIA_STATS_SQL,
+    "media_transform": MEDIA_TRANSFORM_SQL,
 }

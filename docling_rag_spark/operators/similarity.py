@@ -219,8 +219,8 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _train_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """KMEANS_ITERS Lloyd rounds; returns the trained (cid, cvec) DataFrame.
+def _train_centroids(spark: SparkSession, emb: DataFrame) -> dict[int, list]:
+    """KMEANS_ITERS Lloyd rounds; returns the trained {cid: centroid} dict.
     Centroids are collected to the driver between rounds (K×DIM doubles — a
     broadcast-sized artifact, like any k-means implementation)."""
     seeds = {
@@ -234,9 +234,7 @@ def _train_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     }
     cents = seeds
     for _ in range(KMEANS_ITERS):
-        cents_df = spark.createDataFrame(
-            sorted(cents.items()), "cid int, cvec array<double>"
-        )
+        cents_df = _centroids_df(spark, cents)
         assigned = _assign_cells(emb, cents_df)
         sums = (
             assigned.select(
@@ -256,29 +254,57 @@ def _train_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
             cid: [new[cid][d] for d in range(DIM)] if cid in new else vec
             for cid, vec in cents.items()
         }
+    return cents
+
+
+def _centroids_df(spark: SparkSession, cents: dict[int, list]) -> DataFrame:
     return spark.createDataFrame(sorted(cents.items()), "cid int, cvec array<double>")
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: score only the query's trained-IVF cell (coarse-quantization
-    pruning). The final assignment is cached: the qcell lookup is an eager
-    action and the returned plan references the assignment again."""
+def _py_cos(a: list, b: list) -> float:
+    # in-order left-fold double arithmetic — matches the SQL/Catalyst folds
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+        na += float(x) * float(x)
+        nb += float(y) * float(y)
+    return dot / (na**0.5 * nb**0.5)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
+    """ANN: score only the query's ``nprobe`` nearest trained-IVF cells
+    (the standard IVF recall/cost knob; nprobe=1 scans 1/K of the data).
+    The final assignment is cached: it feeds the returned plan once per
+    probed cell set."""
     emb = table(spark, sf_dir, "embeddings")
-    assigned = _assign_cells(emb, _train_centroids(spark, emb)).cache()
+    cents = _train_centroids(spark, emb)
+    assigned = _assign_cells(emb, _centroids_df(spark, cents)).cache()
     q = _query_vec(spark, sf_dir)
     qcol = _lit_vec(q)
-    qcell = (
-        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select("cell").head()["cell"]
-    )
+    qcells = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _py_cos(q, v)) for cid, v in cents.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
     sim = F.round(
         _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
     )
     return (
-        assigned.filter((F.col("cell") == qcell) & (F.col("vec_id") != QUERY_VEC_ID))
+        assigned.filter(
+            F.col("cell").isin(qcells) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
         .select("vec_id", "label", sim.alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(IVF_TOP_K)
     )
+
+
+def knn_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_ivf(spark, sf_dir, nprobe=2)
 
 
 def _assign_sql(cents: str, out: str) -> str:
@@ -316,7 +342,7 @@ def _mean_sql(assigned: str, prev: str, out: str) -> str:
 )"""
 
 
-def _knn_ivf_sql() -> str:
+def _knn_ivf_sql(nprobe: int = 1) -> str:
     parts = [
         f"""c0 as materialized (
   select vec_id as cid, list_transform(embedding, x -> x::double) as cvec
@@ -332,16 +358,22 @@ def _knn_ivf_sql() -> str:
     ctes = ",\n".join(parts)
     return f"""
 with {ctes},
-q as (
-  select a.embedding as qv, a.cell as qcell
-  from assigned a where a.vec_id = {QUERY_VEC_ID}
+q as materialized (
+  select embedding as qv from embeddings where vec_id = {QUERY_VEC_ID}
+),
+qcells as materialized (
+  select cid from {prev}, q
+  order by {_dot_sql('cvec', 'qv')}
+           / (sqrt({_dot_sql('cvec', 'cvec')}) * sqrt({_dot_sql('qv', 'qv')}))
+           desc, cid asc
+  limit {nprobe}
 )
 select vec_id, label,
        round({_dot_sql('embedding', 'qv')}
              / (sqrt({_dot_sql('embedding', 'embedding')})
                 * sqrt({_dot_sql('qv', 'qv')})), 6) as cosine_sim
 from assigned, q
-where cell = qcell and vec_id != {QUERY_VEC_ID}
+where cell in (select cid from qcells) and vec_id != {QUERY_VEC_ID}
 order by cosine_sim desc, vec_id asc
 limit {IVF_TOP_K}
 """
@@ -482,6 +514,8 @@ where round({_dot_sql('ea.embedding', 'eb.embedding')}
 EMB_DEDUP_SQL = _emb_dedup_sql()
 
 QUERIES["knn_ivf"] = knn_ivf
+QUERIES["knn_ivf_probe2"] = knn_ivf_probe2
 QUERIES["dedup_embedding"] = embedding_near_dup
 ORACLES["knn_ivf"] = KNN_IVF_SQL
+ORACLES["knn_ivf_probe2"] = _knn_ivf_sql(nprobe=2)
 ORACLES["dedup_embedding"] = EMB_DEDUP_SQL
