@@ -156,6 +156,29 @@ def rolling_fingerprint(s: str, window: int = 8, mod: int = 1 << 61) -> int:
     return best if best is not None else 0
 
 
+def winnowing_fingerprints(
+    s: str, window: int = 8, guarantee: int = 4, mod: int = 1 << 61
+) -> list[int]:
+    """Winnowing (Schleimer et al.) fingerprint SET: the distinct minima of
+    each `guarantee`-window over the rolling `window`-token hashes — the
+    multi-fingerprint upgrade of rolling_fingerprint (same hash recipe).
+    Both parameters adapt down for short docs; empty doc → empty set."""
+    toks = [t.lower() for t in tokenize(s)]
+    n = len(toks)
+    if n == 0:
+        return []
+    w = min(window, n)
+    base = 1_000_003
+    vals = [int(md5_hex(t)[:8], 16) for t in toks]
+    pows = [pow(base, k, mod) for k in range(w)]
+    hs = [
+        sum(vals[i + j] * pows[w - 1 - j] for j in range(w)) % mod
+        for i in range(n - w + 1)
+    ]
+    g = min(guarantee, len(hs))
+    return sorted({min(hs[i : i + g]) for i in range(len(hs) - g + 1)})
+
+
 def jaccard(a: list[str], b: list[str]) -> float:
     sa, sb = set(a), set(b)
     if not sa and not sb:

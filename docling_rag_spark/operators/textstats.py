@@ -181,5 +181,82 @@ select doc_id,
 from documents
 """
 
+# --------------------------------------------------------------------------
+# winnowing fingerprint SET (multi-fingerprint upgrade of the single rolling
+# hash): distinct minima of each guarantee-window over the rolling window
+# hashes — the standard plagiarism/dedup fingerprinting scheme. Output is a
+# driver-sortable summary (count + md5 of the sorted set); the oracle
+# replays the full scheme in HUGEINT SQL.
+# --------------------------------------------------------------------------
+WINNOW_WINDOW = 8
+WINNOW_GUARANTEE = 4
+
+
+def _winnowing_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import hashlib
+
+    import pandas as pd
+
+    from ..kernels.textutils import winnowing_fingerprints
+
+    for pdf in batches:
+        ns, md5s = [], []
+        for t in pdf["text"]:
+            sel = winnowing_fingerprints(t or "", WINNOW_WINDOW, WINNOW_GUARANTEE)
+            ns.append(len(sel))
+            md5s.append(hashlib.md5(",".join(map(str, sel)).encode()).hexdigest())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_fp": ns, "fp_md5": md5s})
+
+
+def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        _winnowing_kernel, schema="doc_id long, n_fp int, fp_md5 string"
+    )
+
+
+def _winnowing_sql() -> str:
+    from .common import hexn_to_bigint_sql
+
+    mod = 1 << 61
+    base = 1_000_003
+    w, g = WINNOW_WINDOW, WINNOW_GUARANTEE
+    pows = "[" + ", ".join(str(pow(base, k, mod)) for k in range(w)) + "]"
+    return f"""
+with toks as (
+  select doc_id, {dsql.tokens_sql('text', lower=True)} as w from documents
+),
+vals as (
+  select doc_id, len(w) as n,
+         list_transform(w, t -> {hexn_to_bigint_sql('md5(t)', 8)}::hugeint) as v
+  from toks
+),
+hs as (
+  select doc_id,
+         list_transform(range(0, n - least({w}, n) + 1), i ->
+           (list_sum(list_transform(range(0, least({w}, n)), j ->
+               v[i + j + 1] * ({pows}::hugeint[])[least({w}, n) - j])) % {mod}))
+           as H
+  from vals where n > 0
+),
+sel as (
+  select doc_id,
+         list_sort(list_distinct(
+           list_transform(range(0, len(H) - least({g}, len(H)) + 1), i ->
+             list_min(H[i + 1 : i + least({g}, len(H))])))) as s
+  from hs
+)
+select t.doc_id,
+       coalesce(len(s.s), 0)::int as n_fp,
+       md5(coalesce(array_to_string(s.s, ','), '')) as fp_md5
+from toks t left join sel s on t.doc_id = s.doc_id
+"""
+
+
+WINNOWING_SQL = _winnowing_sql()
+
+QUERIES["text_winnowing"] = winnowing
+ORACLES["text_winnowing"] = WINNOWING_SQL
+
 QUERIES["text_token_bpe"] = token_counts_bpe
 ORACLES["text_token_bpe"] = TOKEN_BPE_SQL
