@@ -17,16 +17,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _HEX = "0123456789abcdef"
 
 
-def hex4_to_int_col(hex4: Column) -> Column:
-    """First 4 hex chars → int in [0, 65535] via conv (Spark-side only)."""
-    return F.conv(hex4, 16, 10).cast("int")
-
-
-def hex4_to_int_sql(hex4: str) -> str:
-    """DuckDB mirror: positional digit arithmetic (no conv() in DuckDB)."""
-    return hexn_to_bigint_sql(hex4, 4)
-
-
 def hexn_to_bigint_sql(expr: str, n: int) -> str:
     """First ``n`` hex chars of ``expr`` → bigint (DuckDB; n <= 15)."""
     parts = []
@@ -36,3 +26,45 @@ def hexn_to_bigint_sql(expr: str, n: int) -> str:
             f"(strpos('{_HEX}', substring({expr}, {i + 1}, 1)) - 1) * {mult}"
         )
     return "(" + " + ".join(parts) + ")"
+
+
+def banded_pairs(
+    keyed: DataFrame, id_col: str, band_cols: list[str], payload_cols: list[str]
+) -> DataFrame:
+    """LSH-banded candidate self-join: distinct (a, b) id pairs (a < b)
+    colliding in >=1 band column — the shared shape of the simhash and
+    embedding near-dup candidate generators (union of per-band equi-joins,
+    never all-pairs). ``payload_cols`` ride along as ``<name>_a``/``<name>_b``."""
+    cand = None
+    for bc in band_cols:
+        a = keyed.select(
+            F.col(id_col).alias("id_a"),
+            F.col(bc).alias("bk"),
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        )
+        b = keyed.select(
+            F.col(id_col).alias("id_b"),
+            F.col(bc).alias("bk"),
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+        cand = p if cand is None else cand.unionByName(p)
+    return cand.dropDuplicates(["id_a", "id_b"])
+
+
+def banded_pairs_sql(
+    keyed_cte: str, id_col: str, n_bands: int, payload_cols: list[str]
+) -> str:
+    """DuckDB mirror of :func:`banded_pairs` as a ``cand`` CTE body over a
+    CTE named ``keyed`` with band columns b0..b{n-1}."""
+    payload = "".join(
+        f", a.{c} as {c}_a, b.{c} as {c}_b" for c in payload_cols
+    )
+    joins = "\n    union all\n    ".join(
+        f"select a.{id_col} as id_a, b.{id_col} as id_b{payload} "
+        f"from {keyed_cte} a join {keyed_cte} b "
+        f"on a.b{i} = b.b{i} and a.{id_col} < b.{id_col}"
+        for i in range(n_bands)
+    )
+    cols = ", ".join(["id_a", "id_b"] + [f"{c}_{s}" for c in payload_cols for s in "ab"])
+    return f"select distinct {cols} from (\n    {joins}\n  )"

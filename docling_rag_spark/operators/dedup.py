@@ -300,6 +300,8 @@ SIMHASH_HAMMING_MAX = 3  # < SIMHASH_BANDS → banding is lossless (pigeonhole)
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import banded_pairs
+
     sigs = simhash_docs(spark, sf_dir)
     band_cols = [
         (
@@ -308,45 +310,33 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"b{b}")
         for b in range(SIMHASH_BANDS)
     ]
+    # cached: referenced as both sides of SIMHASH_BANDS self-joins
     keyed = sigs.select("doc_id", "simhash", *band_cols).cache()
-    cand = None
-    for b in range(SIMHASH_BANDS):
-        a = keyed.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("simhash").alias("ha"),
-            F.col(f"b{b}").alias("bk"),
-        )
-        bb = keyed.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("simhash").alias("hb"),
-            F.col(f"b{b}").alias("bk"),
-        )
-        p = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b", "ha", "hb"
-        )
-        cand = p if cand is None else cand.unionByName(p)
+    cand = banded_pairs(
+        keyed, "doc_id", [f"b{b}" for b in range(SIMHASH_BANDS)], ["simhash"]
+    )
     return (
-        cand.dropDuplicates(["doc_a", "doc_b"])
-        .withColumn(
+        cand.withColumn(
             "hamming",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).cast("int"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+        )
     )
 
 
 def _simhash_pairs_sql() -> str:
+    from .common import banded_pairs_sql
+
     band_cols = ",\n         ".join(
         f"(simhash >> {SIMHASH_BAND_BITS * b}) % {1 << SIMHASH_BAND_BITS} as b{b}"
         for b in range(SIMHASH_BANDS)
     )
-    band_joins = "\n    union all\n    ".join(
-        f"select a.doc_id as doc_a, b.doc_id as doc_b, a.simhash as ha, "
-        f"b.simhash as hb from keyed a join keyed b "
-        f"on a.b{b} = b.b{b} and a.doc_id < b.doc_id"
-        for b in range(SIMHASH_BANDS)
-    )
+    cand = banded_pairs_sql("keyed", "doc_id", SIMHASH_BANDS, ["simhash"])
     return f"""
 with sims as materialized ({SIMHASH_SQL.strip()}),
 keyed as materialized (
@@ -355,13 +345,12 @@ keyed as materialized (
   from sims
 ),
 cand as materialized (
-  select distinct doc_a, doc_b, ha, hb from (
-    {band_joins}
-  )
+  {cand}
 )
-select doc_a, doc_b, bit_count(xor(ha, hb))::int as hamming
+select id_a as doc_a, id_b as doc_b,
+       bit_count(xor(simhash_a, simhash_b))::int as hamming
 from cand
-where bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING_MAX}
+where bit_count(xor(simhash_a, simhash_b)) <= {SIMHASH_HAMMING_MAX}
 """
 
 

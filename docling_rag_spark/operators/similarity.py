@@ -276,11 +276,11 @@ def _py_cos(a: list, b: list) -> float:
 def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """ANN: score only the query's ``nprobe`` nearest trained-IVF cells
     (the standard IVF recall/cost knob; nprobe=1 scans 1/K of the data).
-    The final assignment is cached: it feeds the returned plan once per
-    probed cell set."""
+    The probed cells come from the driver-side trained centroids, so the
+    returned plan references the assignment exactly once — no cache."""
     emb = table(spark, sf_dir, "embeddings")
     cents = _train_centroids(spark, emb)
-    assigned = _assign_cells(emb, _centroids_df(spark, cents)).cache()
+    assigned = _assign_cells(emb, _centroids_df(spark, cents))
     q = _query_vec(spark, sf_dir)
     qcol = _lit_vec(q)
     qcells = [
@@ -429,17 +429,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_bucket_col(F.col("embedding"), _band_planes(band)) % nb).alias(f"b{band}")
         for band in range(EMB_BANDS)
     ]
+    from .common import banded_pairs
+
     # cached: referenced as both sides of EMB_BANDS self-joins
     keyed = emb.select("vec_id", *bucket_cols).cache()
-    cand = None
-    for band in range(EMB_BANDS):
-        a = keyed.select(F.col("vec_id").alias("vec_a"), F.col(f"b{band}").alias("bk"))
-        b = keyed.select(F.col("vec_id").alias("vec_b"), F.col(f"b{band}").alias("bk"))
-        p = a.join(b, "bk").filter(F.col("vec_a") < F.col("vec_b")).select(
-            "vec_a", "vec_b"
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["vec_a", "vec_b"])
+    cand = banded_pairs(
+        keyed, "vec_id", [f"b{b}" for b in range(EMB_BANDS)], []
+    ).select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = F.round(
@@ -474,11 +470,9 @@ def _emb_dedup_sql() -> str:
         f"({_band_bucket_sql('embedding', band)}) % nb as b{band}"
         for band in range(EMB_BANDS)
     )
-    band_joins = "\n    union all\n    ".join(
-        f"select a.vec_id as vec_a, b.vec_id as vec_b "
-        f"from keyed a join keyed b on a.b{band} = b.b{band} and a.vec_id < b.vec_id"
-        for band in range(EMB_BANDS)
-    )
+    from .common import banded_pairs_sql
+
+    cand_body = banded_pairs_sql("keyed", "vec_id", EMB_BANDS, [])
     return f"""
 with params as materialized (
   select cast(power(2, least({EMB_PLANES_MAX},
@@ -493,9 +487,7 @@ keyed as materialized (
 ),
 cand as materialized (
   -- union of per-band equi-joins (hash-joinable; mirrors the Spark plan)
-  select distinct vec_a, vec_b from (
-    {band_joins}
-  )
+  select id_a as vec_a, id_b as vec_b from ({cand_body})
 )
 select vec_a, vec_b,
        round({_dot_sql('ea.embedding', 'eb.embedding')}

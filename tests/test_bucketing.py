@@ -46,10 +46,12 @@ def test_bucketed_join_is_shuffle_free(spark, bucketed_tables, tmp_path):
     # control: the same join over plain (unbucketed) parquet DOES shuffle
     spark.table(ta).write.parquet(str(tmp_path / "plain_a"))
     spark.table(tb).write.parquet(str(tmp_path / "plain_b"))
-    ctrl = spark.read.parquet(str(tmp_path / "plain_a")).join(
-        spark.read.parquet(str(tmp_path / "plain_b")), "doc_id"
+    # merge hint on the join INPUT (a post-join hint is ignored) so the
+    # control takes the sort-merge path rather than a broadcast
+    ctrl = (
+        spark.read.parquet(str(tmp_path / "plain_a"))
+        .hint("merge")
+        .join(spark.read.parquet(str(tmp_path / "plain_b")), "doc_id")
     )
-    # disable broadcast so the control exercises the shuffle path
-    ctrl = ctrl.hint("merge")
     ctrl_plan = ctrl._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" in ctrl_plan
+    assert "Exchange hashpartitioning" in ctrl_plan  # a real shuffle

@@ -204,7 +204,6 @@ def test_simhash_band_pigeonhole_lossless():
     """Banding catches EVERY pair within SIMHASH_HAMMING_MAX: at most 3
     differing bits cannot touch all 4 bands (pigeonhole), so the candidate
     join loses no qualifying pair."""
-    import itertools
     import random
 
     from docling_rag_spark.operators.dedup import (
