@@ -137,19 +137,38 @@ _KERNEL_SCHEMA = (
 )
 
 
-def extract_blocks(spans: DataFrame, repartition_to: int | None = None) -> DataFrame:
+SALT_BUCKETS = 16
+
+
+def extract_blocks(
+    spans: DataFrame, repartition_to: int | None = None, salt: str = "roundrobin"
+) -> DataFrame:
     """Span rows → block rows.
 
-    ``repartition_to``: round-robin repartition width before the kernel —
-    the giant-document skew defuse (one doc's spans spread over all tasks).
+    ``repartition_to``: repartition width before the kernel — the
+    giant-document skew defuse (one doc's spans spread over all tasks).
     * None (default): no shuffle — scan splits provide the parallelism
       (a many-file Iceberg table at 100 TB is already well-split; shuffling
       every raw payload byte would dominate the job).
-    * N > 0: explicit shuffle to N partitions — use when the input is a few
-      huge/skewed files or hot keys are known (the north-rule salting knob).
+    * N > 0: explicit shuffle to N partitions (the north-rule salting knob).
+
+    ``salt`` picks the spread strategy:
+    * ``roundrobin``: maximum spread — every span lands anywhere; best when
+      a handful of giants dominate.
+    * ``keyed``: deterministic hash of (doc_id, span_idx % SALT_BUCKETS) —
+      a giant doc fans out over at most SALT_BUCKETS tasks while normal
+      docs stay (mostly) co-located, preserving doc-locality for fused
+      downstream stages; the classic salted-key recipe.
     """
     if repartition_to:
-        spans = spans.repartition(repartition_to)
+        if salt == "keyed":
+            spans = spans.repartition(
+                repartition_to,
+                F.col("doc_id"),
+                F.col("span_idx") % SALT_BUCKETS,
+            )
+        else:
+            spans = spans.repartition(repartition_to)
     return spans.mapInPandas(_extract_kernel, schema=_KERNEL_SCHEMA)
 
 
@@ -453,6 +472,7 @@ def run_extraction(
     persist_blocks: bool = False,
     mode: str = "narrow",
     run_ts=None,
+    salt: str = "roundrobin",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full pipeline → (extracted_spans, chunks, lineage).
 
@@ -498,7 +518,9 @@ def run_extraction(
             _run_ts_col(run_ts).alias("ingested_at"),
         )
     elif mode == "spread":
-        blocks = extract_blocks(explode_spans(todo), repartition_to=repartition_to)
+        blocks = extract_blocks(
+            explode_spans(todo), repartition_to=repartition_to, salt=salt
+        )
         if persist_blocks:
             from pyspark import StorageLevel
 

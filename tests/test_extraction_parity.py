@@ -208,3 +208,27 @@ def test_lineage_parity_with_failures_and_nulls(spark):
     assert n["faildoc"] == ("failed", 3, 0)
     assert n["nullspans"] == ("processed", 0, 0)
     assert n["emptyspans"] == ("processed", 0, 0)
+
+
+def test_keyed_salt_spread_equals_narrow(spark, corpus_rows):
+    """The keyed-salt spread variant (hash of (doc_id, span_idx % buckets) —
+    giant docs fan out over <= SALT_BUCKETS tasks, normal docs stay
+    co-located) produces byte-identical output to narrow."""
+    from docling_rag_spark.pipeline import run_extraction
+
+    docs = spark.createDataFrame(
+        [(d, s) for d, s in corpus_rows[:30]], schema=DOCUMENTS_SPANS_SCHEMA
+    )
+
+    def seqs(**kw):
+        ex, _, _ = run_extraction(docs, run_id="salt", **kw)
+        out = {}
+        for r in ex.collect():
+            out.setdefault(r["doc_id"], []).append(
+                (r["order"], r["kind"], r["text"], r["media_ref"])
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert seqs(mode="narrow") == seqs(
+        mode="spread", repartition_to=8, salt="keyed"
+    )
