@@ -47,6 +47,38 @@ def _derive_kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"
         )
 
 
+# Reference exclude-pattern set (src/utils.py:112,117-118) — fnmatch globs
+# applied to the file NAME during discovery (P2). For table-model inputs the
+# filter applies to a path column before extraction.
+EXCLUDE_PATTERNS = (
+    ".*", "__*", "*.tmp", "*.temp", "~*", "*.bak", "*.backup",
+    "Thumbs.db", ".DS_Store",
+)
+
+
+def _glob_to_regex(glob: str) -> str:
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append("\\" + ch if ch in r".^$+{}[]|()\\" else ch)
+    return "".join(out)
+
+
+def exclude_patterns_filter(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Drop rows whose file NAME matches any reference exclude glob
+    (reference discover_files, src/utils.py:112,117-118) — one compiled
+    rlike over the basename, pushed into the scan by Catalyst."""
+    from pyspark.sql import functions as F
+
+    name = F.element_at(F.split(F.col(path_col), "/"), -1)
+    rx = "^(" + "|".join(_glob_to_regex(g) for g in EXCLUDE_PATTERNS) + ")$"
+    return df.filter(~name.rlike(rx))
+
+
 def interleaved_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver documents.parquet → deterministic interleaved spans table."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

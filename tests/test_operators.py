@@ -226,3 +226,31 @@ def test_simhash_band_pigeonhole_lossless():
         bands_a = [(a >> (w * i)) % (1 << w) for i in range(SIMHASH_BANDS)]
         bands_b = [(b >> (w * i)) % (1 << w) for i in range(SIMHASH_BANDS)]
         assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+def test_exclude_patterns_match_fnmatch_reference(spark):
+    """P2: the rlike translation of the reference's exclude globs
+    (src/utils.py:112,117-118) keeps/drops exactly what fnmatch would."""
+    import fnmatch
+
+    from docling_rag_spark.sources.corpus import (
+        EXCLUDE_PATTERNS,
+        exclude_patterns_filter,
+    )
+
+    names = [
+        "report.pdf", "data.html", ".hidden", "__pycache", "draft.tmp",
+        "x.temp", "~lock", "old.bak", "full.backup", "Thumbs.db",
+        ".DS_Store", "backup.txt", "tmp.doc", "a.tmp.pdf", "notes.md",
+        "__init__.py", "fine~name", "db.Thumbs",
+    ]
+    paths = [f"/root/docs/sub/{n}" for n in names]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    kept = {r["path"] for r in exclude_patterns_filter(df).collect()}
+    want = {
+        p for p in paths
+        if not any(
+            fnmatch.fnmatch(p.rsplit("/", 1)[-1], g) for g in EXCLUDE_PATTERNS
+        )
+    }
+    assert kept == want
