@@ -179,8 +179,9 @@ ORACLES = {
 # --------------------------------------------------------------------------
 # IVF ANN: coarse quantization by TRAINED centroid cell, probe 1 cell.
 #
-# Training = deterministic Lloyd k-means: seeds are the K lowest vec_ids,
-# then KMEANS_ITERS assignment→mean rounds with EXACT arithmetic — each
+# Training = deterministic k-means: farthest-point (k-center greedy) init
+# — data-dependent like k-means++ but RNG-free so the oracle replays it —
+# then KMEANS_ITERS assignment→mean Lloyd rounds with EXACT arithmetic: each
 # dimension's mean is sum(round(x*10^6))::bigint / (10^6 * count), an
 # integer sum (order-independent) divided once in double — so the DuckDB
 # oracle replays the identical training inside static SQL and both engines
@@ -219,20 +220,48 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _train_centroids(spark: SparkSession, emb: DataFrame) -> dict[int, list]:
-    """KMEANS_ITERS Lloyd rounds; returns the trained {cid: centroid} dict.
-    Centroids are collected to the driver between rounds (K×DIM doubles — a
-    broadcast-sized artifact, like any k-means implementation)."""
-    seeds = {
-        r["cid"]: [float(x) for x in r["cvec"]]
-        for r in emb.filter(F.col("vec_id") < IVF_CENTROIDS)
-        .select(
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("embedding").cast("array<double>").alias("cvec"),
+def _seed_centroids(emb: DataFrame) -> dict[int, list]:
+    """Deterministic farthest-point (k-center greedy) init — the
+    data-dependent replacement for naive lowest-id seeds (k-means++ without
+    the RNG, so the DuckDB oracle replays it): seed 0 is the lowest vec_id;
+    each next seed is the vector whose MAX cosine similarity to the chosen
+    set is smallest (ties → lowest vec_id). K-1 tiny argmin scans."""
+    first = (
+        emb.orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("cvec"))
+        .head()["cvec"]
+    )
+    chosen: list[list[float]] = [[float(x) for x in first]]
+    for _ in range(IVF_CENTROIDS - 1):
+        max_sim = F.greatest(
+            *[
+                _dot(F.col("embedding"), _lit_vec(c))
+                / (_norm(F.col("embedding")) * _norm(_lit_vec(c)))
+                for c in chosen
+            ]
+        ) if len(chosen) > 1 else (
+            _dot(F.col("embedding"), _lit_vec(chosen[0]))
+            / (_norm(F.col("embedding")) * _norm(_lit_vec(chosen[0])))
         )
-        .collect()
-    }
-    cents = seeds
+        nxt = (
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("cvec"),
+                max_sim.alias("ms"),
+            )
+            .orderBy(F.asc("ms"), F.asc("vec_id"))
+            .head()
+        )
+        chosen.append([float(x) for x in nxt["cvec"]])
+    return {i: c for i, c in enumerate(chosen)}
+
+
+def _train_centroids(spark: SparkSession, emb: DataFrame) -> dict[int, list]:
+    """Farthest-point init + KMEANS_ITERS Lloyd rounds; returns the trained
+    {cid: centroid} dict. Centroids are collected to the driver between
+    rounds (K×DIM doubles — a broadcast-sized artifact, like any k-means
+    implementation)."""
+    cents = _seed_centroids(emb)
     for _ in range(KMEANS_ITERS):
         cents_df = _centroids_df(spark, cents)
         assigned = _assign_cells(emb, cents_df)
@@ -342,13 +371,42 @@ def _mean_sql(assigned: str, prev: str, out: str) -> str:
 )"""
 
 
-def _knn_ivf_sql(nprobe: int = 1) -> str:
+def _seed_sql_parts() -> list[str]:
+    """Farthest-point init as a CTE chain s0..s{K-1} (each one row), then
+    c0 = their union — the exact mirror of _seed_centroids."""
     parts = [
-        f"""c0 as materialized (
-  select vec_id as cid, list_transform(embedding, x -> x::double) as cvec
-  from embeddings where vec_id < {IVF_CENTROIDS}
+        """s0 as materialized (
+  select 0 as cid, list_transform(embedding, x -> x::double) as cvec
+  from embeddings order by vec_id limit 1
 )"""
     ]
+    for i in range(1, IVF_CENTROIDS):
+        sims = [
+            f"{_dot_sql('e.embedding', f's{j}.cvec')}"
+            f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+            f" * sqrt({_dot_sql(f's{j}.cvec', f's{j}.cvec')}))"
+            for j in range(i)
+        ]
+        ms = sims[0] if i == 1 else "greatest(" + ", ".join(sims) + ")"
+        froms = ", ".join(["embeddings e"] + [f"s{j}" for j in range(i)])
+        parts.append(
+            f"""s{i} as materialized (
+  select {i} as cid, list_transform(e.embedding, x -> x::double) as cvec
+  from {froms}
+  order by {ms} asc, e.vec_id asc limit 1
+)"""
+        )
+    union = "\n  union all\n  ".join(
+        f"select cid, cvec from s{i}" for i in range(IVF_CENTROIDS)
+    )
+    parts.append(f"""c0 as materialized (
+  {union}
+)""")
+    return parts
+
+
+def _knn_ivf_sql(nprobe: int = 1) -> str:
+    parts = _seed_sql_parts()
     prev = "c0"
     for it in range(1, KMEANS_ITERS + 1):
         parts.append(_assign_sql(prev, f"a{it}"))
