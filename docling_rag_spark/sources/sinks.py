@@ -60,12 +60,32 @@ def truncate(path: str) -> None:
 
 
 def _recover_swap(path: str) -> None:
-    """Heal an interrupted rewrite-minus swap: a crash between truncate(path)
-    and rename(tmp→path) leaves the data only in path+'.tmp'. If the target
-    is gone and the tmp is a COMPLETE write (_SUCCESS), adopt it; any other
-    leftover tmp (crash before the truncate) is stale and discarded — the
-    target is still intact, so the delete simply never happened."""
+    """Heal an interrupted rewrite-minus swap (see _swap_in for the protocol).
+    Every step of the swap is an atomic os.rename, so the crash windows are:
+
+    - ``.old`` exists, target missing: crashed between rename(path→old) and
+      rename(tmp→path). If the tmp is a COMPLETE write (_SUCCESS), the swap
+      is finished by adopting it; otherwise the old target is restored
+      (the delete simply never happened). Either way ``.old`` is removed.
+    - ``.old`` exists, target exists: the swap completed; the crash hit the
+      final cleanup rmtree. Finish the cleanup and drop any stale tmp.
+    - no ``.old``, target exists, tmp exists: the swap never STARTED (the
+      first rename is atomic), so the target is intact and the tmp is a
+      stale abandoned rewrite — discard it.
+    - no ``.old``, target missing, complete tmp: first-ever write crashed
+      between tmp completion and swap start with nothing to back up — adopt.
+    """
     tmp = path + ".tmp"
+    old = path + ".old"
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, path)
+            else:
+                truncate(tmp)
+                os.rename(old, path)
+                return
+        truncate(old)
     if not os.path.isdir(tmp):
         return
     if not os.path.isdir(path) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
@@ -75,8 +95,15 @@ def _recover_swap(path: str) -> None:
 
 
 def _swap_in(path: str) -> None:
-    truncate(path)
+    """Atomic-rename swap: never a window where the only complete copy can
+    be discarded. rename(path→path.old) and rename(tmp→path) are each atomic;
+    a crash anywhere is healed by _recover_swap (which adopts the tmp whenever
+    ``.old`` exists and the target is gone, instead of treating it as stale)."""
+    old = path + ".old"
+    if os.path.isdir(path):
+        os.rename(path, old)
     os.rename(path + ".tmp", path)
+    truncate(old)
 
 
 def delete_document(spark: SparkSession, path: str, doc_id: str) -> None:

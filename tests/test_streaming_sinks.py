@@ -73,3 +73,86 @@ def test_idempotent_append_partial_target_not_overwritten(spark, tmp_path):
     idempotent_append(spark, second, path, key="id")
     got = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]  # old rows survive, no dups
+
+
+def _rows(spark, path):
+    return sorted((r["doc_id"], r["v"]) for r in spark.read.parquet(path).collect())
+
+
+def _seed_swap_state(spark, tmp_path):
+    """Target holds {a,b,c}; a delete_docs(b) rewrite produced a COMPLETE
+    tmp {a,c}. Returns (path, tmp)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "doc_id string, v int"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [("a", 1), ("c", 3)], "doc_id string, v int"
+    ).coalesce(1).write.parquet(path + ".tmp")
+    return path, path + ".tmp"
+
+
+def test_swap_crash_after_backup_rename(spark, tmp_path):
+    """Crash between rename(path→.old) and rename(tmp→path): the ONLY
+    complete copy of the post-delete data is the tmp — recovery must adopt
+    it, never discard it (ADVICE r2 medium)."""
+    from docling_rag_spark.sources.sinks import _recover_swap
+
+    path, tmp = _seed_swap_state(spark, tmp_path)
+    os.rename(path, path + ".old")  # swap step 1 done, crash before step 2
+    _recover_swap(path)
+    assert _rows(spark, path) == [("a", 1), ("c", 3)]
+    assert not os.path.exists(path + ".old") and not os.path.exists(tmp)
+
+
+def test_swap_crash_before_swap_started(spark, tmp_path):
+    """Crash after the tmp write but before any rename: target intact,
+    tmp is an abandoned rewrite → discarded (the delete never happened)."""
+    from docling_rag_spark.sources.sinks import _recover_swap
+
+    path, tmp = _seed_swap_state(spark, tmp_path)
+    _recover_swap(path)
+    assert _rows(spark, path) == [("a", 1), ("b", 2), ("c", 3)]
+    assert not os.path.exists(tmp)
+
+
+def test_swap_crash_during_old_cleanup(spark, tmp_path):
+    """Crash mid-rmtree of '.old' after a completed swap: target already
+    holds the new data; recovery just finishes the cleanup."""
+    from docling_rag_spark.sources.sinks import _recover_swap
+
+    path, tmp = _seed_swap_state(spark, tmp_path)
+    os.rename(path, path + ".old")
+    os.rename(tmp, path)
+    # simulate partial rmtree: drop one file from .old
+    for f in os.listdir(path + ".old"):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(path + ".old", f))
+            break
+    _recover_swap(path)
+    assert _rows(spark, path) == [("a", 1), ("c", 3)]
+    assert not os.path.exists(path + ".old")
+
+
+def test_swap_crash_incomplete_tmp_restores_backup(spark, tmp_path):
+    """'.old' exists, target gone, tmp INCOMPLETE (no _SUCCESS): restore the
+    backup — never leave the table missing or partial."""
+    from docling_rag_spark.sources.sinks import _recover_swap
+
+    path, tmp = _seed_swap_state(spark, tmp_path)
+    os.rename(path, path + ".old")
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    _recover_swap(path)
+    assert _rows(spark, path) == [("a", 1), ("b", 2), ("c", 3)]
+    assert not os.path.exists(path + ".old") and not os.path.exists(tmp)
+
+
+def test_delete_docs_end_to_end_after_recovery(spark, tmp_path):
+    """delete_docs on a table left in the mid-swap crash state works: heals
+    first, then applies the new delete."""
+    from docling_rag_spark.sources.sinks import delete_docs
+
+    path, tmp = _seed_swap_state(spark, tmp_path)
+    os.rename(path, path + ".old")  # crashed mid-swap of the b-delete
+    delete_docs(spark, path, spark.createDataFrame([("c",)], "doc_id string"))
+    assert _rows(spark, path) == [("a", 1)]
