@@ -103,3 +103,25 @@ def test_minipdf_reading_order_is_total_order(blocks):
 @settings(max_examples=200, deadline=None)
 def test_token_count_consistent(s):
     assert token_count(s) == len([t for t in tidy(s).split(" ") if t])
+
+
+def test_extract_golden_parquet_in_sync():
+    """The committed golden parquet for the 4 extraction driver oracles
+    (tests/golden/extract_*.parquet) must match a live regeneration — a spec
+    or datagen change without `python tests/make_extract_golden.py` fails
+    here instead of silently going stale. sf0.001 only (cheap)."""
+    import pyarrow.parquet as pq
+
+    import tests.make_extract_golden as mg
+
+    live = mg.build_tables(["/root/testdata/sf0.001"])
+    for kind, fname in mg.FILES.items():
+        committed = pq.read_table(Path(__file__).parent / "golden" / fname)
+        keys = set(live[kind].column("corpus_key").to_pylist())
+        assert len(keys) == 1
+        key = keys.pop()
+        import pyarrow.compute as pc
+
+        sl = committed.filter(pc.field("corpus_key") == key)
+        assert sl.schema == live[kind].schema, kind
+        assert sl.to_pylist() == live[kind].to_pylist(), kind
