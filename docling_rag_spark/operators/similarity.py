@@ -220,39 +220,47 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _seed_centroids(emb: DataFrame) -> dict[int, list]:
-    """Deterministic farthest-point (k-center greedy) init — the
-    data-dependent replacement for naive lowest-id seeds (k-means++ without
-    the RNG, so the DuckDB oracle replays it): seed 0 is the lowest vec_id;
-    each next seed is the vector whose MAX cosine similarity to the chosen
-    set is smallest (ties → lowest vec_id). K-1 tiny argmin scans."""
-    first = (
-        emb.orderBy("vec_id")
-        .select(F.col("embedding").cast("array<double>").alias("cvec"))
-        .head()["cvec"]
+## Seeding sample: vectors whose md5(vec_id-as-string) hex starts below this
+## threshold — a deterministic ~1/8 hash sample expressible identically in
+## Spark and static DuckDB SQL (lexicographic compare on the hex digest).
+## At 10^12 vectors tighten the prefix (e.g. '0001') so the pool stays
+## driver-sized; the pool is ALWAYS topped up with the K lowest vec_ids so
+## it can never be smaller than K.
+SEED_SAMPLE_MAX_MD5 = "2"
+
+
+def _seed_pool(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """ONE table pass: collect the deterministic hash-sampled seed pool
+    (plus the K lowest vec_ids as a floor) to the driver, sorted by vec_id."""
+    sampled = emb.filter(
+        F.md5(F.col("vec_id").cast("string")) < SEED_SAMPLE_MAX_MD5
+    ).select("vec_id", "embedding")
+    low = emb.orderBy("vec_id").limit(IVF_CENTROIDS).select("vec_id", "embedding")
+    rows = sampled.union(low).dropDuplicates(["vec_id"]).collect()
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
     )
-    chosen: list[list[float]] = [[float(x) for x in first]]
+
+
+def _seed_centroids(emb: DataFrame) -> dict[int, list]:
+    """Deterministic farthest-point (k-center greedy) init on a hash-sampled
+    pool — data-dependent like k-means++ but RNG-free so the DuckDB oracle
+    replays it, and O(1) table passes instead of K-1 full scans (the
+    round-2 scale fix): the pool is collected once (driver-sized), then the
+    greedy argmin loop runs locally. Seed 0 is the pool's lowest vec_id;
+    each next seed is the pool vector whose MAX cosine similarity to the
+    chosen set is smallest (ties → lowest vec_id, via ascending iteration
+    + strict <). Cosines use the same in-index-order double left-fold as
+    the SQL (_py_cos ↔ _dot_sql)."""
+    pool = _seed_pool(emb)
+    chosen: list[list[float]] = [pool[0][1]]
     for _ in range(IVF_CENTROIDS - 1):
-        max_sim = F.greatest(
-            *[
-                _dot(F.col("embedding"), _lit_vec(c))
-                / (_norm(F.col("embedding")) * _norm(_lit_vec(c)))
-                for c in chosen
-            ]
-        ) if len(chosen) > 1 else (
-            _dot(F.col("embedding"), _lit_vec(chosen[0]))
-            / (_norm(F.col("embedding")) * _norm(_lit_vec(chosen[0])))
-        )
-        nxt = (
-            emb.select(
-                "vec_id",
-                F.col("embedding").cast("array<double>").alias("cvec"),
-                max_sim.alias("ms"),
-            )
-            .orderBy(F.asc("ms"), F.asc("vec_id"))
-            .head()
-        )
-        chosen.append([float(x) for x in nxt["cvec"]])
+        best_ms, best_vec = None, None
+        for _vid, vec in pool:
+            ms = max(_py_cos(vec, c) for c in chosen)
+            if best_ms is None or ms < best_ms:
+                best_ms, best_vec = ms, vec
+        chosen.append(best_vec)
     return {i: c for i, c in enumerate(chosen)}
 
 
@@ -372,26 +380,34 @@ def _mean_sql(assigned: str, prev: str, out: str) -> str:
 
 
 def _seed_sql_parts() -> list[str]:
-    """Farthest-point init as a CTE chain s0..s{K-1} (each one row), then
-    c0 = their union — the exact mirror of _seed_centroids."""
+    """Farthest-point init over the hash-sampled seed pool, as a CTE chain
+    pool → s0..s{K-1} (each one row), then c0 = their union — the exact
+    mirror of _seed_pool + _seed_centroids (same md5-prefix sample, same
+    lowest-K floor, same argmin/tie order)."""
     parts = [
+        f"""pool as materialized (
+  select vec_id, list_transform(embedding, x -> x::double) as cvec
+  from embeddings
+  where md5(cast(vec_id as varchar)) < '{SEED_SAMPLE_MAX_MD5}'
+     or vec_id in (select vec_id from embeddings
+                   order by vec_id limit {IVF_CENTROIDS})
+)""",
         """s0 as materialized (
-  select 0 as cid, list_transform(embedding, x -> x::double) as cvec
-  from embeddings order by vec_id limit 1
-)"""
+  select 0 as cid, cvec from pool order by vec_id limit 1
+)""",
     ]
     for i in range(1, IVF_CENTROIDS):
         sims = [
-            f"{_dot_sql('e.embedding', f's{j}.cvec')}"
-            f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+            f"{_dot_sql('e.cvec', f's{j}.cvec')}"
+            f" / (sqrt({_dot_sql('e.cvec', 'e.cvec')})"
             f" * sqrt({_dot_sql(f's{j}.cvec', f's{j}.cvec')}))"
             for j in range(i)
         ]
         ms = sims[0] if i == 1 else "greatest(" + ", ".join(sims) + ")"
-        froms = ", ".join(["embeddings e"] + [f"s{j}" for j in range(i)])
+        froms = ", ".join(["pool e"] + [f"s{j}" for j in range(i)])
         parts.append(
             f"""s{i} as materialized (
-  select {i} as cid, list_transform(e.embedding, x -> x::double) as cvec
+  select {i} as cid, e.cvec
   from {froms}
   order by {ms} asc, e.vec_id asc limit 1
 )"""
