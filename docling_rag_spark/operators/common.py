@@ -28,6 +28,30 @@ def hexn_to_bigint_sql(expr: str, n: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def scoped_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Scope operator-local ``.cache()``s to the RESULT's lifetime: each
+    ``cached`` input (a plain .cache()d DataFrame — lineage intact, so any
+    post-release re-execution just recomputes, never errors) is unpersisted
+    when the returned ``result`` object is garbage-collected — i.e. right
+    after the caller's terminal action drops it (``fn(...).toPandas()``).
+    A long-lived session running many queries (the driver gate: 46 in one
+    session) no longer accumulates dead shingle/signature tables in executor
+    storage, and a caller that keeps the result alive keeps the cache warm.
+    """
+    import weakref
+
+    for c in cached:
+
+        def _release(jdf=c._jdf) -> None:
+            try:
+                jdf.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+
+        weakref.finalize(result, _release)
+    return result
+
+
 def banded_pairs(
     keyed: DataFrame, id_col: str, band_cols: list[str], payload_cols: list[str]
 ) -> DataFrame:
@@ -35,6 +59,8 @@ def banded_pairs(
     colliding in >=1 band column — the shared shape of the simhash and
     embedding near-dup candidate generators (union of per-band equi-joins,
     never all-pairs). ``payload_cols`` ride along as ``<name>_a``/``<name>_b``."""
+    if not band_cols:
+        raise ValueError("band_cols must be non-empty")
     cand = None
     for bc in band_cols:
         a = keyed.select(

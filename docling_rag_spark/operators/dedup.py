@@ -107,11 +107,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*band_aggs)
         .selectExpr("doc_id", f"stack({NUM_BANDS}, {stack}) as (band, sig)")
         # cached: the self-join references sigs twice and each branch would
-        # otherwise recompute the full shingle+md5 pipeline
+        # otherwise recompute the full shingle+md5 pipeline; released when
+        # the caller drops the result (scoped_cache)
         .cache()
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    from .common import scoped_cache
+
+    return scoped_cache(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -121,7 +124,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_shared_bands"))
+        .agg(F.count("*").alias("n_shared_bands")),
+        sigs,
     )
 
 
@@ -169,7 +173,8 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
         .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
         .drop("df")
         # cached: referenced three times below (sizes + both self-join sides)
-        # — uncached, the shingle generation executes three times per job
+        # — uncached, the shingle generation executes three times per job;
+        # released when the caller drops the result (scoped_cache)
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -185,7 +190,7 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    out = (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -197,6 +202,9 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+    from .common import scoped_cache
+
+    return scoped_cache(out, sh)
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -310,12 +318,15 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"b{b}")
         for b in range(SIMHASH_BANDS)
     ]
-    # cached: referenced as both sides of SIMHASH_BANDS self-joins
+    # cached: referenced as both sides of SIMHASH_BANDS self-joins;
+    # released when the caller drops the result (scoped_cache)
     keyed = sigs.select("doc_id", "simhash", *band_cols).cache()
     cand = banded_pairs(
         keyed, "doc_id", [f"b{b}" for b in range(SIMHASH_BANDS)], ["simhash"]
     )
-    return (
+    from .common import scoped_cache
+
+    return scoped_cache(
         cand.withColumn(
             "hamming",
             F.bit_count(
@@ -325,7 +336,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
-        )
+        ),
+        keyed,
     )
 
 
@@ -380,6 +392,32 @@ ORACLES = {
 CC_MAX_ITERS = 20
 
 
+def _persisted_ids(spark: SparkSession) -> set[int]:
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint(eager) + the persisted-RDD ids it created.
+    DataFrame.unpersist() canNOT release a local checkpoint (the RDD is
+    persisted outside the cache manager), so the ids are the only handle for
+    freeing superseded iteration state."""
+    spark = df.sparkSession
+    before = _persisted_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, _persisted_ids(spark) - before
+
+
+def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) where cluster_id = min doc_id reachable through
     the minhash-LSH candidate-pair graph (docs with no candidate pair are
@@ -399,12 +437,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built on cache() alone re-derives ever-longer plans (and a cached
     # parent unpersisted before its child materializes recomputes the whole
     # chain) — the standard Spark iterative-algorithm trap.
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    edges, edge_ids = _ckpt_tracked(
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    labels, label_ids = _ckpt_tracked(
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
     for _ in range(CC_MAX_ITERS):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -418,7 +460,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         jump = labels.select(
             F.col("doc_id").alias("j_key"), F.col("cluster_id").alias("j_label")
         )
-        new_labels = (
+        new_labels, new_ids = _ckpt_tracked(
             labels.join(neigh, "doc_id", "left")
             .join(jump, F.col("cluster_id") == F.col("j_key"), "left")
             .select(
@@ -429,7 +471,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("j_label", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -438,9 +479,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the superseded checkpoint's blocks are dead once new_labels is
+        # materialized (eager) and `changed` computed — release immediately
+        # instead of accumulating one label table per iteration
+        _release_rdds(spark, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
+    _release_rdds(spark, edge_ids)
+    # only the FINAL label table stays persisted — it backs the returned
+    # (lineage-truncated) DataFrame
     return labels
 
 

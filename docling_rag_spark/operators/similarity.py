@@ -503,9 +503,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_bucket_col(F.col("embedding"), _band_planes(band)) % nb).alias(f"b{band}")
         for band in range(EMB_BANDS)
     ]
-    from .common import banded_pairs
+    from .common import banded_pairs, scoped_cache
 
-    # cached: referenced as both sides of EMB_BANDS self-joins
+    # cached: referenced as both sides of EMB_BANDS self-joins; released
+    # when the caller drops the result (scoped_cache)
     keyed = emb.select("vec_id", *bucket_cols).cache()
     cand = banded_pairs(
         keyed, "vec_id", [f"b{b}" for b in range(EMB_BANDS)], []
@@ -515,11 +516,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
     )
-    return (
+    return scoped_cache(
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= EMB_DEDUP_THRESHOLD)
+        .filter(F.col("cosine_sim") >= EMB_DEDUP_THRESHOLD),
+        keyed,
     )
 
 
