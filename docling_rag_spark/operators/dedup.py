@@ -237,39 +237,35 @@ where round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) >= {JACCARD_THRESH
 # --------------------------------------------------------------------------
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit simhash over lowercase tokens; token hash = first 8 hex
-    chars of md5(token) → int. Pure codegen: explode(tokens) × 32 bits.
-    (16 bits was too coarse at corpus scale: over a small vocabulary 12.6%
-    of ALL pairs landed within hamming 3 — 32 bits restores selectivity at
-    2× the per-token bit work, still all codegen.)"""
+    chars of md5(token) → int. Pure codegen. (16 bits was too coarse at
+    corpus scale: over a small vocabulary 12.6% of ALL pairs landed within
+    hamming 3 — 32 bits restores selectivity.)
+
+    Physical shape: the 32 per-bit counter sums are PARALLEL aggregates of
+    ONE groupBy(doc_id) over the token rows — no tokens×32 row explosion
+    and a single map-side-combined shuffle carrying one 32-column row per
+    (doc, partition), vs the previous explode(bits) plan that shuffled
+    tokens×32 skinny rows (round-2 verdict item #5). The per-bit sums are
+    identical integers, so the DuckDB oracle is unchanged."""
     # no repartition: scan splits already parallelize the explode; a blind
     # full shuffle of document text only adds cost at scale
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("tok")
     ).withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        "hv",
-    ).withColumn(
-        "contrib",
-        F.when(
-            (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2)
-            == 1,
-            1,
-        ).otherwise(-1),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(
-                F.lit(0)
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return per_doc.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
     )
 
 
