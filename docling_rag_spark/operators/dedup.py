@@ -152,8 +152,12 @@ group by a.doc_id, b.doc_id
 # dropped from every doc's shingle set BEFORE the self-join. Without it, a
 # boilerplate shingle shared by d docs emits d²/2 join rows — a quadratic
 # skew key that kills the job at corpus scale ("all rights reserved").
-# Jaccard is then computed over the CAPPED sets (numerator and sizes), the
-# standard df-cap semantics; the DuckDB oracle applies the identical cap.
+# The cap prunes CANDIDATES and the shared-count numerator only; the
+# denominator keeps the UNCAPPED per-doc set sizes, so a hot boilerplate
+# shingle can never INFLATE a pair's score above its true jaccard (round-2
+# advice) — capped scores are a lower bound of true jaccard, and pairs
+# related only through hot shingles are (documented) recall loss. The
+# DuckDB oracle applies the identical cap/denominator split.
 HOT_SHINGLE_DF_CAP = 100
 
 
@@ -166,18 +170,18 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
 
     # document frequency via a window count — ONE shuffle on shingle, which
     # also pre-partitions both self-join sides (no join-back needed)
-    sh = (
+    sh_df = (
         shingle_rows.withColumn(
             "df", F.count("*").over(Window.partitionBy("shingle"))
         )
-        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
-        .drop("df")
-        # cached: referenced three times below (sizes + both self-join sides)
-        # — uncached, the shingle generation executes three times per job;
-        # released when the caller drops the result (scoped_cache)
+        # cached UNCAPPED (df attached): referenced three times below —
+        # uncapped sizes + both (capped) self-join sides; uncached, the
+        # shingle generation executes three times per job; released when
+        # the caller drops the result (scoped_cache)
         .cache()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = sh_df.filter(F.col("df") <= HOT_SHINGLE_DF_CAP).drop("df")
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(
@@ -204,7 +208,7 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
     )
     from .common import scoped_cache
 
-    return scoped_cache(out, sh)
+    return scoped_cache(out, sh_df)
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -217,7 +221,8 @@ sh as materialized (
     from sh_all
   ) where df <= {HOT_SHINGLE_DF_CAP}
 ),
-sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+-- denominator uses UNCAPPED sizes (cap prunes candidates, never inflates)
+sizes as (select doc_id, count(*) as n_sh from sh_all group by doc_id),
 shared as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as shared
   from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
