@@ -446,11 +446,115 @@ rehydrated as (
 select * from rehydrated
 """
 
+# --------------------------------------------------------------------------
+# W2 at CHUNK granularity (reference parity): the reference fuses over
+# chunk ids and rehydrates chunk ROWS (src/retrieval/search.py:30-35 →
+# src/storage/postgres.py:201-224 WHERE id = ANY(%s)), not documents.
+# Fulltext arm: cover-density over each chunk's text. Vector arm: chunks
+# ranked by their parent document's embedding similarity (the sandbox has
+# doc-level vectors; ties broken by chunk id — at chunk-embedding scale
+# swap in the chunk vector column, the fusion/rehydration shape is
+# identical). Fusion: RRF k=60 over chunk ids, over-fetch ×3, final top-k
+# rehydrated against the chunks table via broadcast semi-join-with-payload.
+# --------------------------------------------------------------------------
+def hybrid_rrf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import scoped_cache
+
+    # cached: referenced by both arms + the rehydration join; released when
+    # the caller drops the result
+    chunks = chunk_documents_sql_variant(spark, sf_dir).cache()
+    fetch = TOP_K * OVERFETCH
+    ft = (
+        cover_density_scores(
+            chunks.select(F.col("id").alias("doc_id"), "text"), FT_TERMS
+        )
+        .select(F.col("doc_id").alias("id"), "s")
+        .orderBy(F.desc("s"), F.asc("id"))
+        .limit(fetch)
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qcol = _lit_vec(q)
+    sim = F.round(
+        _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
+    )
+    doc_sims = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        F.col("vec_id").alias("doc_id"), sim.alias("s")
+    )
+    vec = (
+        chunks.select("doc_id", "id")
+        .join(doc_sims, "doc_id")
+        .select("id", "s")
+        .orderBy(F.desc("s"), F.asc("id"))
+        .limit(fetch)
+    )
+    # rank windows are global but each input is pre-limited to `fetch` rows
+    # (TakeOrdered upstream) — do NOT widen the over-fetch without
+    # partitioning this window
+    rank_w = Window.orderBy(F.desc("s"), F.asc("id"))
+    fused = (
+        ft.withColumn("rank", F.row_number().over(rank_w))
+        .select("id", "rank")
+        .unionAll(vec.withColumn("rank", F.row_number().over(rank_w)).select("id", "rank"))
+        .groupBy("id")
+        .agg(F.round(F.sum(1.0 / (RRF_K + F.col("rank"))), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(TOP_K)
+    )
+    return scoped_cache(
+        chunks.join(F.broadcast(fused), "id").select(
+            "id", "doc_id", "chunk_index", "text", "n_tokens", "rrf_score"
+        ),
+        chunks,
+    )
+
+
+HYBRID_RRF_CHUNKS_SQL = f"""
+with chunks as materialized ({CHUNK_SQL}),
+cdocs as (select id as doc_id, text from chunks),
+q as (select embedding as qv from embeddings where vec_id = {QUERY_VEC_ID}),
+ft as (
+  select id,
+         row_number() over (order by s desc, id asc) as rank
+  from (
+    with scores as ({_cover_density_sql(FT_TERMS, source='cdocs')})
+    select doc_id as id, s from scores
+    order by s desc, id asc limit {TOP_K * OVERFETCH}
+  )
+),
+doc_sims as (
+  select vec_id as doc_id,
+         round({_dot_sql('embedding', 'qv')}
+               / (sqrt({_dot_sql('embedding', 'embedding')})
+                  * sqrt({_dot_sql('qv', 'qv')})), 6) as s
+  from embeddings, q
+  where vec_id != {QUERY_VEC_ID}
+),
+vec as (
+  select id,
+         row_number() over (order by s desc, id asc) as rank
+  from (
+    select c.id, d.s from chunks c join doc_sims d using (doc_id)
+    order by s desc, id asc limit {TOP_K * OVERFETCH}
+  )
+),
+fused as (
+  select id, round(sum(1.0::double / ({RRF_K} + rank)), 6) as rrf_score
+  from (select * from ft union all select * from vec)
+  group by id
+  order by rrf_score desc, id asc
+  limit {TOP_K}
+)
+select c.id, c.doc_id, c.chunk_index, c.text, c.n_tokens, fused.rrf_score
+from chunks c join fused using (id)
+"""
+
 QUERIES = {
     "fulltext_topk": fulltext_topk,
     "fulltext_topk_cd": fulltext_topk_cd,
     "hybrid_rrf": hybrid_rrf,
     "hybrid_rrf_rehydrated": hybrid_rrf_rehydrated,
+    "hybrid_rrf_chunks": hybrid_rrf_chunks,
     "doc_meta_agg": doc_meta_agg,
     "doc_counts": doc_counts,
     "paginate_docs": paginate_docs,
@@ -465,6 +569,7 @@ ORACLES = {
     "fulltext_topk_cd": FULLTEXT_CD_SQL,
     "hybrid_rrf": HYBRID_RRF_SQL,
     "hybrid_rrf_rehydrated": HYBRID_REHYDRATE_SQL,
+    "hybrid_rrf_chunks": HYBRID_RRF_CHUNKS_SQL,
     "doc_meta_agg": DOC_META_SQL,
     "doc_counts": DOC_COUNTS_SQL,
     "paginate_docs": PAGINATE_SQL,
