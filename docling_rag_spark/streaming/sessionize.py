@@ -6,11 +6,15 @@ micro-batches (the prompt's "applyInPandasWithState for custom stateful
 operators"). A session CLOSES when a later event arrives past the gap; closed sessions
 are emitted, the open session stays in state across micro-batches.
 
-Semantics match the batch operator for any prefix of the stream in which
-events arrive in user-time order (the test feeds files in ts order), and the
-value sum matches bit-for-bit: the state accumulates integer MICRO-UNITS of
-the decimal(18,6) cast the batch operator applies (never binary floats), and
-an all-NULL session emits a NULL sum exactly like batch F.sum.
+``sessionize_stream`` (the low-latency path) matches the batch operator for
+any prefix of the stream in which events arrive in user-time order;
+``sessionize_stream_ordered`` removes that assumption by buffering events in
+state until the watermark passes them, folding in event-time order — correct
+under ANY arrival order within the watermark delay (the latency/robustness
+trade both modes make explicit). Value sums match bit-for-bit in both: the
+state accumulates integer MICRO-UNITS of the decimal(18,6) cast the batch
+operator applies (never binary floats), and an all-NULL session emits a NULL
+sum exactly like batch F.sum.
 
 Idle-session flush: with ``event_time_timeout=True`` the query adds a
 watermark and an EventTimeTimeout — a session whose (end + gap) falls behind
@@ -128,6 +132,147 @@ def _sessionize_fn(
             state.setTimeoutTimestamp(cur[1] // 1000 + GAP_SEC * 1000)
     if closed:
         yield _rows(closed)
+
+
+# --------------------------------------------------------------------------
+# Watermark-ORDERED sessionization: out-of-order tolerant (round-2 verdict
+# item #3). Events are BUFFERED in state until the watermark passes their
+# event time, then folded in (ts, event_id) order — so sessions match the
+# batch operator regardless of arrival order across micro-batches, up to
+# the watermark delay (events later than the delay are dropped by standard
+# watermark semantics). The event-time timeout doubles as the fold clock:
+# it re-fires whenever the watermark passes the next pending event (fold
+# it) or the open session's end + gap (idle flush).
+# --------------------------------------------------------------------------
+ORDERED_STATE_SCHEMA = (
+    "session_start long, session_end long, n_events long, "
+    "sum_micros long, has_value boolean, has_open boolean, "
+    "buf_ts array<long>, buf_eid array<long>, "
+    "buf_val array<long>, buf_has array<boolean>"
+)
+_GAP_US = GAP_SEC * 1_000_000
+
+
+def _fold_events(cur: list | None, events: list, closed: list) -> list | None:
+    """Fold (ts_us, value_micros|None) pairs — already event-time ordered —
+    into the open-session accumulator, appending gap-closed sessions."""
+    for t, mv in events:
+        if cur is None:
+            cur = [t, t, 1, mv or 0, mv is not None]
+        elif t - cur[1] > _GAP_US:
+            closed.append((*cur, "gap"))
+            cur = [t, t, 1, mv or 0, mv is not None]
+        else:
+            cur[1] = t
+            cur[2] += 1
+            if mv is not None:
+                cur[3] += mv
+                cur[4] = True
+    return cur
+
+
+def _sessionize_ordered_fn(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    (user_id,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    cur: list | None = None
+    buf: list[tuple[int, int, int | None]] = []  # (ts_us, event_id, micros|None)
+    if state.exists:
+        (ss, se, ne, sm, hv, has_open, bts, beid, bval, bhas) = state.get
+        if has_open:
+            cur = [ss, se, ne, sm, hv]
+        buf = [
+            (t, e, v if h else None)
+            for t, e, v, h in zip(bts, beid, bval, bhas)
+        ]
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for ts, eid, value in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                buf.append(
+                    (int(pd.Timestamp(ts).value // 1_000), int(eid),
+                     _value_micros(value))
+                )
+
+    buf.sort(key=lambda e: (e[0], e[1]))
+    ready = [(t, v) for t, _e, v in buf if t <= wm_us]
+    rest = [e for e in buf if e[0] > wm_us]
+    closed: list = []
+    cur = _fold_events(cur, ready, closed)
+    if cur is not None and not rest and wm_us > cur[1] + _GAP_US:
+        closed.append((*cur, "timeout"))
+        cur = None
+
+    if cur is None and not rest:
+        state.remove()
+    else:
+        state.update(
+            (
+                cur[0] if cur else 0, cur[1] if cur else 0,
+                cur[2] if cur else 0, cur[3] if cur else 0,
+                cur[4] if cur else False, cur is not None,
+                [e[0] for e in rest], [e[1] for e in rest],
+                [e[2] or 0 for e in rest], [e[2] is not None for e in rest],
+            )
+        )
+        # wake when the watermark can make progress for this user: the next
+        # pending event becomes foldable, or the open session goes idle.
+        # Must be strictly above the current watermark (Spark requirement).
+        if rest:
+            next_us = rest[0][0]
+        else:
+            next_us = cur[1] + _GAP_US
+        state.setTimeoutTimestamp(max(wm_us // 1000 + 1, next_us // 1000 + 1))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_value": [_sum_value(c[3], c[4]) for c in closed],
+                "closed_by": [c[5] for c in closed],
+            }
+        )
+
+
+def sessionize_stream_ordered(
+    spark, input_dir: str, out_dir: str, watermark_delay: str = "2 hours"
+) -> None:
+    """Out-of-order-tolerant sessionization: watermark-buffered reorder →
+    fold in event-time order. Closed sessions equal the batch operator's on
+    every session provably closed under the final watermark, for ANY
+    arrival order within ``watermark_delay``."""
+    events_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+        .withWatermark("ts", watermark_delay)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_ordered_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=ORDERED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def sessionize_stream(
