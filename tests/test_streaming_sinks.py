@@ -156,3 +156,27 @@ def test_delete_docs_end_to_end_after_recovery(spark, tmp_path):
     os.rename(path, path + ".old")  # crashed mid-swap of the b-delete
     delete_docs(spark, path, spark.createDataFrame([("c",)], "doc_id string"))
     assert _rows(spark, path) == [("a", 1)]
+
+
+def test_iceberg_path_degrades_gracefully(spark, tmp_path):
+    """Without Iceberg runtime jars (this sandbox), the iceberg_table knob
+    must fall through to the parquet protocol — same rows either way. With
+    jars present the same call issues MERGE INTO / DELETE FROM instead."""
+    from docling_rag_spark.sources.sinks import (
+        delete_docs,
+        iceberg_available,
+        idempotent_append,
+    )
+
+    assert iceberg_available(spark) is False  # sandbox has no jars
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    idempotent_append(spark, df, path, iceberg_table="cat.db.chunks")
+    idempotent_append(spark, df, path, iceberg_table="cat.db.chunks")
+    assert spark.read.parquet(path).count() == 2
+    ids = spark.createDataFrame([("a",)], "doc_id string")
+    df2 = spark.createDataFrame([("a", "x"), ("b", "y")], "doc_id string, v string")
+    p2 = str(tmp_path / "d")
+    df2.coalesce(1).write.parquet(p2)
+    delete_docs(spark, p2, ids, iceberg_table="cat.db.docs")
+    assert [r["doc_id"] for r in spark.read.parquet(p2).collect()] == ["b"]
