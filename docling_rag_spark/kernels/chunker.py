@@ -15,6 +15,15 @@ Frozen spec v2:
   under one heading therefore pack together, and a chunk never spans two
   heading contexts — the reference's merge-undersized-peers-sharing-headings
   rule expressed as a forward walk).
+  INTENTIONAL FORMAT DIVERGENCE from the reference: docling's HybridChunker
+  keeps heading text as chunk *metadata/contextualization* (chunk.text
+  excludes it), so reference chunk texts — and therefore the md5 chunk ids,
+  whose recipe itself matches exactly — differ for the same document. This
+  spec folds the heading INTO the chunk text because the engine's chunk
+  rows carry no separate heading-context column; the id recipe, token
+  budget, page provenance, and never-split-oversized rules are reference-
+  exact. Swap rule: to restore byte parity, emit heading text to a
+  `heading` column instead of `_texts` in :meth:`ChunkPacker.add`.
 - greedy 512-token budget WITHIN a context run: a span whose tokens would
   overflow the current non-empty chunk starts a new chunk (running sum
   resets — true greedy packing, not prefix-sum binning). Only a single span
