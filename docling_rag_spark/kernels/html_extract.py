@@ -81,6 +81,12 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, str | None]]:
         if not buf:  # hot path: most block-tag boundaries have no text
             block_boiler = boiler_depth > 0
             return
+        if block_boiler:
+            # a block opened in boilerplate context can never be good —
+            # skip the tidy/unescape work entirely (its text is unused)
+            buf, link_chars = [], 0
+            block_boiler = boiler_depth > 0
+            return
         text = tidy(_unescape("".join(buf)))
         lc = link_chars
         is_head = heading is not None

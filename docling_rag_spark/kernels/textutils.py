@@ -16,8 +16,17 @@ import re
 # regexp_replace) and RE2 (DuckDB) use ASCII [ \t\n\x0B\f\r] — the frozen
 # spec is the ASCII set so all three engines tokenize identically (a
 # non-breaking space is NOT a separator anywhere).
-_WS_RE = re.compile(r"\s+", re.ASCII)
-_CRLF_IMG_RE = re.compile(r"[\r\n]+|<!-- image -->")
+#
+# Single combined pass == the two-pass reference recipe
+# (sub('[\r\n]+|<!-- image -->', ' ') then sub('\s+', ' ')): every maximal
+# run of {ASCII whitespace ∪ literal marker occurrences in the ORIGINAL
+# string} collapses to one space either way, and pass 1 cannot enable new
+# removals in pass 2 beyond whitespace collapse (a marker assembled BY
+# pass-1 substitution survives both variants as text). One regex pass is
+# ~2× faster and tidy is the hottest kernel primitive (profiled: 339k
+# calls / 24% of extraction CPU at sf0.1). The SQL mirrors keep the
+# two-pass form — values are identical.
+_TIDY_RE = re.compile(r"(?:<!-- image -->|\s)+", re.ASCII)
 
 
 def tidy(s: str) -> str:
@@ -25,7 +34,7 @@ def tidy(s: str) -> str:
     (reference src/ingestion/document.py:113-114)."""
     if not s:
         return ""
-    return _WS_RE.sub(" ", _CRLF_IMG_RE.sub(" ", s)).strip()
+    return _TIDY_RE.sub(" ", s).strip()
 
 
 def tokenize(s: str) -> list[str]:

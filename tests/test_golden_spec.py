@@ -125,3 +125,27 @@ def test_extract_golden_parquet_in_sync():
         sl = committed.filter(pc.field("corpus_key") == key)
         assert sl.schema == live[kind].schema, kind
         assert sl.to_pylist() == live[kind].to_pylist(), kind
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet=" \t\r\n\x0b\x0cab<!->ge imé ", max_size=6),
+            st.just("<!-- image -->"),
+            st.just("<!-- image"),
+            st.just("image -->"),
+        ),
+        max_size=8,
+    ).map("".join)
+)
+def test_tidy_single_pass_equals_reference_two_pass(s):
+    """The optimized single-regex tidy must equal the reference two-pass
+    recipe (sub('[\\r\\n]+|<!-- image -->',' ') then sub('\\s+',' '),
+    ASCII \\s) on every input, including split/adjacent markers and
+    non-breaking spaces (which are NOT separators)."""
+    import re as _re
+
+    cr = _re.sub(r"[\r\n]+|<!-- image -->", " ", s)
+    expect = _re.sub(r"\s+", " ", cr, flags=_re.ASCII).strip()
+    assert tidy(s) == expect
