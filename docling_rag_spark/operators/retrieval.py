@@ -154,6 +154,101 @@ limit {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# T2 (BM25 variant): the canonical at-scale fulltext ranking function
+# (Robertson/Spärck Jones; what Lucene/ES ship as default — a strictly
+# stronger stand-in for ts_rank than raw term frequency). Fully relational:
+# tf = per-(doc,term) counts, df = per-term posting-list sizes (broadcast —
+# |query terms| rows), dl/avgdl from one stats row. Exactly ONE shuffle on
+# doc_id for the tf groupBy at scale; everything else broadcasts.
+# Cross-engine float parity: per-term scores round to 9 dp and sum as
+# decimal(18,9) — order-independent — then the total rounds to 6 dp.
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def fulltext_topk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tl = sorted({t.lower() for t in FT_TERMS})
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("tok")
+    )
+    lens = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"), lower=True)).alias("dl")
+    )
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(tl))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tnorm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    term_score = F.round(idf * tnorm, 9).cast("decimal(18,9)")
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score).cast("double"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _bm25_sql(terms: list[str]) -> str:
+    tl = sorted({t.lower() for t in terms})
+    arr = "[" + ", ".join(f"'{t}'" for t in tl) + "]"
+    k1 = f"{BM25_K1}::double"
+    b = f"{BM25_B}::double"
+    return f"""
+with toks as (
+  select doc_id, unnest({tokens_sql('text', lower=True)}) as tok from documents
+),
+lens as (
+  select doc_id, len({tokens_sql('text', lower=True)}) as dl from documents
+),
+stats as (
+  select count(*) as n_docs, avg(dl) as avgdl from lens
+),
+tf as (
+  select doc_id, tok, count(*) as tf from toks
+  where list_contains({arr}, tok)
+  group by doc_id, tok
+),
+dfreq as (
+  select tok, count(*) as df from tf group by tok
+)
+select tf.doc_id,
+       round(sum(round(
+         ln(1.0::double + (n_docs - df + 0.5::double) / (df + 0.5::double))
+         * ((tf * {BM25_K1 + 1.0}::double)
+            / (tf + {k1} * (1.0::double - {b} + {b} * dl / avgdl)))
+       , 9)::decimal(18,9))::double, 6) as bm25
+from tf
+join dfreq using (tok)
+join lens on lens.doc_id = tf.doc_id
+cross join stats
+group by tf.doc_id
+order by bm25 desc, tf.doc_id asc
+limit {TOP_K}
+"""
+
+
+FULLTEXT_BM25_SQL = _bm25_sql(FT_TERMS)
+
+
+# --------------------------------------------------------------------------
 # W1+W2+T3: hybrid search with reciprocal-rank fusion
 # (reference src/retrieval/search.py:7-32: rank = 1-based position per
 # engine, rrf += 1/(60+rank), over-fetch 3×top_k, final top_k)
@@ -552,6 +647,7 @@ from chunks c join fused using (id)
 QUERIES = {
     "fulltext_topk": fulltext_topk,
     "fulltext_topk_cd": fulltext_topk_cd,
+    "fulltext_topk_bm25": fulltext_topk_bm25,
     "hybrid_rrf": hybrid_rrf,
     "hybrid_rrf_rehydrated": hybrid_rrf_rehydrated,
     "hybrid_rrf_chunks": hybrid_rrf_chunks,
@@ -567,6 +663,7 @@ QUERIES = {
 ORACLES = {
     "fulltext_topk": FULLTEXT_SQL,
     "fulltext_topk_cd": FULLTEXT_CD_SQL,
+    "fulltext_topk_bm25": FULLTEXT_BM25_SQL,
     "hybrid_rrf": HYBRID_RRF_SQL,
     "hybrid_rrf_rehydrated": HYBRID_REHYDRATE_SQL,
     "hybrid_rrf_chunks": HYBRID_RRF_CHUNKS_SQL,
