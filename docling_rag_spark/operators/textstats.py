@@ -260,3 +260,167 @@ ORACLES["text_winnowing"] = WINNOWING_SQL
 
 QUERIES["text_token_bpe"] = token_counts_bpe
 ORACLES["text_token_bpe"] = TOKEN_BPE_SQL
+
+
+# --------------------------------------------------------------------------
+# Gopher/C4-style training-data quality filters (Rae et al. 2021 §A1.1;
+# Raffel et al. 2020): word-count bounds, mean-word-length bounds, a
+# ≥2-distinct-common-words rule, and the repetition signals — the char
+# fraction of the single most frequent word 2-gram and 3-gram. All pure
+# relational: one token explode feeding (a) per-doc token stats and (b)
+# n-gram count groupBys; the per-doc argmax n-gram is a row_number window
+# with a deterministic (count desc, gram asc) tie-break. At corpus scale:
+# two doc_id-keyed shuffles, no UDFs, no driver loops.
+# --------------------------------------------------------------------------
+GOPHER_WORDS_MIN = 20
+GOPHER_WORDS_MAX = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_STOP_HITS_MIN = 2
+GOPHER_TOP2_FRAC_MAX = 0.20
+GOPHER_TOP3_FRAC_MAX = 0.18
+
+
+def _top_gram_frac(toks: DataFrame, n: int, out: str) -> DataFrame:
+    """(doc_id, <out>): char fraction of the most frequent word n-gram —
+    count(top) * len(top) / len(tidy text); ties → lexicographically
+    smallest gram. Docs with < n tokens are absent (caller left-joins)."""
+    from pyspark.sql import Window
+
+    arr = F.col("toks")
+    grams = toks.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.when(F.size(arr) < n, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(arr) - n),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.round(
+                F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+                    F.col("cnt") * F.length("gram") / F.col("n_chars")
+                ),
+                6,
+            ).alias(out),
+        )
+    )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_col
+    from ..kernels.textutils import LANG_MARKERS
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.length(tidy_col(F.col("text"))).alias("n_chars"),
+        tokens_col(F.col("text"), lower=True).alias("toks"),
+    )
+    markers = sorted(dict(LANG_MARKERS)["en"])
+    marr = F.array(*[F.lit(m) for m in markers])
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.round(
+            F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    "toks", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+                )
+                / F.size("toks")
+            ),
+            6,
+        ).alias("mean_word_len"),
+        F.size(
+            F.array_distinct(F.filter("toks", lambda t: F.array_contains(marr, t)))
+        ).alias("stop_hits"),
+    )
+    top2 = _top_gram_frac(base, 2, "top2_char_frac")
+    top3 = _top_gram_frac(base, 3, "top3_char_frac")
+    out = (
+        stats.join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .withColumn("top2_char_frac", F.coalesce("top2_char_frac", F.lit(0.0)))
+        .withColumn("top3_char_frac", F.coalesce("top3_char_frac", F.lit(0.0)))
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_WORDS_MIN, GOPHER_WORDS_MAX)
+        & F.col("mean_word_len").between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
+        & (F.col("stop_hits") >= GOPHER_STOP_HITS_MIN)
+        & (F.col("top2_char_frac") <= GOPHER_TOP2_FRAC_MAX)
+        & (F.col("top3_char_frac") <= GOPHER_TOP3_FRAC_MAX)
+    )
+    return out.withColumn("keep", keep)
+
+
+def _top_gram_frac_sql(n: int, out: str) -> str:
+    toks = dsql.tokens_sql("text", lower=True)
+    return f"""
+{out}_grams as (
+  select doc_id, n_chars, w[i] || ' ' || {" || ' ' || ".join(f"w[i+{j}]" for j in range(1, n)) if n > 1 else ""} as gram
+  from (select doc_id, length({dsql.tidy_sql('text')}) as n_chars,
+               {toks} as w from documents),
+       unnest(range(1, len(w) - {n - 1} + 1)) as t(i)
+  where len(w) >= {n}
+),
+{out}_top as (
+  select doc_id,
+         round(case when n_chars = 0 then 0.0::double
+               else cnt * length(gram) / n_chars::double end, 6) as {out}
+  from (
+    select doc_id, n_chars, gram, count(*) as cnt,
+           row_number() over (partition by doc_id
+                              order by count(*) desc, gram asc) as rn
+    from {out}_grams group by doc_id, n_chars, gram
+  ) where rn = 1
+)"""
+
+
+def _gopher_sql() -> str:
+    from ..kernels.textutils import LANG_MARKERS
+
+    markers = sorted(dict(LANG_MARKERS)["en"])
+    marr = dsql.sql_list(markers)
+    toks = dsql.tokens_sql("text", lower=True)
+    return f"""
+with stats as (
+  select doc_id,
+         len(w) as n_words,
+         round(case when len(w) = 0 then 0.0::double
+               else list_sum(list_transform(w, t -> length(t)))::bigint
+                    / len(w)::double end, 6) as mean_word_len,
+         len(list_distinct(list_filter(w, t -> list_contains({marr}, t))))
+           as stop_hits
+  from (select doc_id, {toks} as w from documents)
+),
+{_top_gram_frac_sql(2, "top2_char_frac").lstrip()},
+{_top_gram_frac_sql(3, "top3_char_frac").lstrip()}
+select s.doc_id, s.n_words, s.mean_word_len, s.stop_hits,
+       coalesce(t2.top2_char_frac, 0.0::double) as top2_char_frac,
+       coalesce(t3.top3_char_frac, 0.0::double) as top3_char_frac,
+       (s.n_words between {GOPHER_WORDS_MIN} and {GOPHER_WORDS_MAX}
+        and s.mean_word_len between {GOPHER_MWL_MIN} and {GOPHER_MWL_MAX}
+        and s.stop_hits >= {GOPHER_STOP_HITS_MIN}
+        and coalesce(t2.top2_char_frac, 0.0::double) <= {GOPHER_TOP2_FRAC_MAX}
+        and coalesce(t3.top3_char_frac, 0.0::double) <= {GOPHER_TOP3_FRAC_MAX})
+         as keep
+from stats s
+left join top2_char_frac_top t2 on t2.doc_id = s.doc_id
+left join top3_char_frac_top t3 on t3.doc_id = s.doc_id
+"""
+
+
+QUERIES["text_gopher_filters"] = gopher_quality
+ORACLES["text_gopher_filters"] = _gopher_sql()
