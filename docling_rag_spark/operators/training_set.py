@@ -106,11 +106,57 @@ select doc_id, lang, source, rk from (
 ) where rk <= {SAMPLE_K}
 """
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / PaLM style): flag every
+# training document sharing at least one word 13-gram with the held-out
+# eval set. The eval set here is a deterministic slice of the corpus
+# (doc_id % DECON_EVAL_MOD == 0 — in production, the benchmark table);
+# its distinct 13-gram set is tiny relative to the corpus and BROADCASTS,
+# so the scan-side plan is a broadcast semi-join with payload: no shuffle
+# of training shingles at any corpus size. Output: contaminated docs with
+# their shared-gram counts (the audit artifact a removal step consumes).
+# --------------------------------------------------------------------------
+DECON_NGRAM = 13
+DECON_EVAL_MOD = 50
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles_col
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles_col(F.col("text"), n=DECON_NGRAM)).alias("g"),
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_grams = sh.filter(is_eval).select("g").distinct()
+    train = sh.filter(~is_eval)
+    return (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+with sh as (
+  select doc_id, unnest({dsql.shingles_sql('text', n=DECON_NGRAM)}) as g
+  from documents
+),
+ev as (select distinct g from sh where doc_id % {DECON_EVAL_MOD} = 0)
+select doc_id, count(distinct g) as n_shared_grams
+from sh join ev using (g)
+where doc_id % {DECON_EVAL_MOD} != 0
+group by doc_id
+"""
+
 QUERIES = {
     "training_subset": training_subset,
     "stratified_sample": stratified_sample,
+    "decontaminate": decontaminate,
 }
 ORACLES = {
     "training_subset": TRAINING_SUBSET_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
 }
