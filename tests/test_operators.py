@@ -315,3 +315,39 @@ def test_banded_pairs_rejects_empty_bands(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id int, b0 int")
     with pytest.raises(ValueError, match="band_cols"):
         banded_pairs(df, "doc_id", [], [])
+
+
+def _formatted_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_plan_single_exchange_no_bit_explode(spark):
+    """Round-3 shape: 32 parallel bit-sum aggregates — exactly ONE hash
+    Exchange (the doc_id groupBy) and exactly ONE Generate (the token
+    explode); the old plan's second Generate (sequence 0..31) is gone."""
+    from docling_rag_spark.operators.dedup import simhash_docs
+
+    plan = _formatted_plan(simhash_docs(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate") == 1
+
+
+def test_bm25_plan_broadcasts_and_takeordered(spark):
+    """df posting sizes + corpus stats broadcast; top-k compiles to
+    TakeOrderedAndProject (no global sort); no SortMergeJoin anywhere."""
+    from docling_rag_spark.operators.retrieval import fulltext_topk_bm25
+
+    plan = _formatted_plan(fulltext_topk_bm25(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    """The training side must join the eval 13-gram set via broadcast —
+    training shingles are never sort-merge shuffled."""
+    from docling_rag_spark.operators.training_set import decontaminate
+
+    plan = _formatted_plan(decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

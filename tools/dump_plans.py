@@ -61,6 +61,31 @@ COMMENT = {
         "Resume: LeftAnti hash join against the lineage checkpoint — with a "
         "small done-set it broadcasts; at scale it's one shuffle on doc_id."
     ),
+    "dedup_simhash": (
+        "SimHash (round-3 shape): the 32 per-bit counters are PARALLEL sum "
+        "aggregates of one map-side-combined HashAggregate on doc_id over "
+        "token rows — one Exchange carrying a 32-column row per (doc, "
+        "partition); no bit-row Generate anywhere (the old plan exploded "
+        "tokens ×32 into the shuffle)."
+    ),
+    "fulltext_topk_bm25": (
+        "BM25: tf HashAggregate on (doc_id, term) is the only wide stage "
+        "over filtered term hits; df posting sizes and the one-row corpus "
+        "stats both arrive via BroadcastExchange; TakeOrderedAndProject "
+        "caps the output."
+    ),
+    "hybrid_rrf_chunks": (
+        "Chunk-granularity fusion: both arms end in TakeOrderedAndProject "
+        "at 3×k before the rank windows (windows therefore see ≤75 rows — "
+        "the global Window.orderBy is safe ONLY because of that prelimit), "
+        "and the final rehydration is a BroadcastHashJoin of the fused ids "
+        "against the chunks table."
+    ),
+    "decontaminate": (
+        "Decontamination: the eval slice's distinct 13-grams go through "
+        "BroadcastExchange; the training side is a broadcast hash join — "
+        "training shingles are never shuffled at any corpus size."
+    ),
 }
 
 
@@ -98,6 +123,17 @@ def main() -> None:
 
     plans["range_join"] = range_join_event_neighbors(spark, sf)
     plans["fulltext_topk_cd"] = fulltext_topk_cd(spark, sf)
+    from docling_rag_spark.operators.dedup import simhash_docs
+    from docling_rag_spark.operators.retrieval import (
+        fulltext_topk_bm25,
+        hybrid_rrf_chunks,
+    )
+    from docling_rag_spark.operators.training_set import decontaminate
+
+    plans["dedup_simhash"] = simhash_docs(spark, sf)
+    plans["fulltext_topk_bm25"] = fulltext_topk_bm25(spark, sf)
+    plans["hybrid_rrf_chunks"] = hybrid_rrf_chunks(spark, sf)
+    plans["decontaminate"] = decontaminate(spark, sf)
 
     out = ["# PLANS — physical plans of the flagship operators",
            "",
