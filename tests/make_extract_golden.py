@@ -86,6 +86,7 @@ def golden_for_sf(sf_dir: str) -> dict[str, list[dict]]:
     span_rows: list[dict] = []
     chunk_rows: list[dict] = []
     meta_rows: list[dict] = []
+    lineage_rows: list[dict] = []
     for doc_id, text in docs:
         doc_id = str(doc_id)  # the Spark corpus stringifies (corpus.py:41)
         spans = build_spans(doc_id, text or "")
@@ -109,6 +110,12 @@ def golden_for_sf(sf_dir: str) -> dict[str, list[dict]]:
                      "page_num": c["page_num"], "n_tokens": c["n_tokens"],
                      "id": chunk_id(doc_id, c["chunk_index"], c["text"])}
                 )
+        lineage_rows.append(
+            {"corpus_key": key, "doc_id": doc_id,
+             "status": "failed" if blocks is None else "processed",
+             "n_spans_in": len(spans),
+             "n_blocks_out": 0 if blocks is None else len(blocks)}
+        )
         pages = [p for (_k, _t, _r, p) in (blocks or []) if p is not None]
         meta_rows.append(
             {"corpus_key": key, "doc_id": doc_id, "doc_type": doc_type,
@@ -117,7 +124,8 @@ def golden_for_sf(sf_dir: str) -> dict[str, list[dict]]:
              "num_tokens": sum(c["n_tokens"] for c in chunks) if chunks else None,
              "num_pages": max(pages) if pages else None}
         )
-    return {"spans": span_rows, "chunks": chunk_rows, "meta": meta_rows}
+    return {"spans": span_rows, "chunks": chunk_rows, "meta": meta_rows,
+            "lineage": lineage_rows}
 
 
 # dtypes must match the Spark query output exactly (driver compares after a
@@ -141,16 +149,25 @@ _SCHEMAS = {
          ("num_chunks", pa.int64()), ("num_tokens", pa.int64()),
          ("num_pages", pa.int32())]
     ),
+    # the DETERMINISTIC projection of the lineage checkpoint: run_id,
+    # partition_id and ingested_at are per-run, everything else is a pure
+    # function of the document
+    "lineage": pa.schema(
+        [("corpus_key", pa.string()), ("doc_id", pa.string()),
+         ("status", pa.string()), ("n_spans_in", pa.int64()),
+         ("n_blocks_out", pa.int64())]
+    ),
 }
 FILES = {
     "spans": "extract_spans_golden.parquet",
     "chunks": "extract_chunks_golden.parquet",
     "meta": "extract_meta_golden.parquet",
+    "lineage": "extract_lineage_golden.parquet",
 }
 
 
 def build_tables(sf_dirs: list[str] | None = None) -> dict[str, pa.Table]:
-    rows: dict[str, list[dict]] = {"spans": [], "chunks": [], "meta": []}
+    rows: dict[str, list[dict]] = {k: [] for k in FILES}
     for sf_dir in sf_dirs or SF_DIRS:
         g = golden_for_sf(sf_dir)
         for k in rows:
