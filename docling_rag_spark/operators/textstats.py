@@ -424,3 +424,56 @@ left join top3_char_frac_top t3 on t3.doc_id = s.doc_id
 
 QUERIES["text_gopher_filters"] = gopher_quality
 ORACLES["text_gopher_filters"] = _gopher_sql()
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing): replace emails/phone numbers
+# with typed placeholder tokens and count what was removed. Pure codegen
+# (regexp_replace / regexp_count — Java regex); the DuckDB mirror uses the
+# same patterns under RE2 — both engines are leftmost-first with greedy
+# quantifiers, and the patterns avoid constructs where the engines differ (no
+# backrefs, no lookaround). The driver corpus contains no PII, so the
+# oracle run degenerates to identity+zero-counts; the REAL behavioral gate
+# is tests/test_operators.py::test_pii_redaction_cross_engine, which
+# plants PII and compares Spark vs DuckDB row-for-row.
+# --------------------------------------------------------------------------
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RX = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def redact_pii_cols(text_col):
+    """(redacted, n_emails, n_phones) column triple — emails replaced
+    first so phone matching never sees their digit runs."""
+    n_emails = F.regexp_count(text_col, F.lit(PII_EMAIL_RX))
+    no_email = F.regexp_replace(text_col, PII_EMAIL_RX, "<EMAIL>")
+    n_phones = F.regexp_count(no_email, F.lit(PII_PHONE_RX))
+    redacted = F.regexp_replace(no_email, PII_PHONE_RX, "<PHONE>")
+    return redacted, n_emails, n_phones
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    redacted, n_emails, n_phones = redact_pii_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+REDACT_PII_SQL = f"""
+select doc_id,
+       md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RX}', '<PHONE>', 'g'))
+         as redacted_md5,
+       len(regexp_extract_all(text, '{PII_EMAIL_RX}'))
+         as n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g'),
+                              '{PII_PHONE_RX}'))
+         as n_phones
+from documents
+"""
+
+QUERIES["text_redact_pii"] = redact_pii
+ORACLES["text_redact_pii"] = REDACT_PII_SQL

@@ -351,3 +351,52 @@ def test_decontaminate_plan_broadcasts_eval_grams(spark):
     plan = _formatted_plan(decontaminate(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_cross_engine(spark):
+    """The driver corpus carries no PII, so the oracle row for
+    text_redact_pii is near-identity — THIS test is the behavioral gate:
+    planted emails/phones must be redacted identically by the Spark
+    expressions and the DuckDB mirror, with matching counts."""
+    import duckdb
+
+    from docling_rag_spark.operators.textstats import (
+        PII_EMAIL_RX,
+        PII_PHONE_RX,
+        redact_pii_cols,
+    )
+
+    rows = [
+        (1, "contact alice.smith+spam@ex-ample.co.uk or bob@x.io today"),
+        (2, "call +1 (555) 123-4567 or 089 123456 now"),
+        (3, "mixed: a@b.de then +49 170 1234567 done"),
+        (4, "no pii here at all"),
+        (5, "edge a@b.c single-letter tld stays"),  # {2,} tld → no match
+        (6, "digits 1234567 bare run is 7 long"),   # needs >=8 chars total
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    red, ne, np_ = redact_pii_cols(F.col("text"))
+    got = {
+        r["doc_id"]: (r["red"], r["ne"], r["np"])
+        for r in df.select(
+            "doc_id", red.alias("red"), ne.alias("ne"), np_.alias("np")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table t(doc_id int, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    want = {
+        d: (r, e, p)
+        for d, r, e, p in con.execute(f"""
+            select doc_id,
+                   regexp_replace(regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE_RX}', '<PHONE>', 'g'),
+                   len(regexp_extract_all(text, '{PII_EMAIL_RX}')),
+                   len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g'),
+                                          '{PII_PHONE_RX}'))
+            from t""").fetchall()
+    }
+    assert got == want
+    assert got[1][1] == 2 and "<EMAIL>" in got[1][0]
+    assert got[2][2] >= 1 and "<PHONE>" in got[2][0]
+    assert got[4] == ("no pii here at all", 0, 0)
