@@ -156,12 +156,16 @@ limit {TOP_K}
 # --------------------------------------------------------------------------
 # T2 (BM25 variant): the canonical at-scale fulltext ranking function
 # (Robertson/Spärck Jones; what Lucene/ES ship as default — a strictly
-# stronger stand-in for ts_rank than raw term frequency). Fully relational:
-# tf = per-(doc,term) counts, df = per-term posting-list sizes (broadcast —
-# |query terms| rows), dl/avgdl from one stats row. Exactly ONE shuffle on
-# doc_id for the tf groupBy at scale; everything else broadcasts.
+# stronger stand-in for ts_rank than raw term frequency). ZERO-shuffle
+# plan: per-term tf and dl are ARRAY expressions over each doc's token
+# array (codegen — no explode, no (doc_id, term) groupBy), corpus stats
+# (N, avgdl, per-term df) are one single-row aggregate broadcast back via
+# crossJoin, and the top-k is TakeOrderedAndProject. The only exchanges
+# are the single-partition stats agg and the broadcast — no
+# hashpartitioning anywhere (plan-asserted).
 # Cross-engine float parity: per-term scores round to 9 dp and sum as
-# decimal(18,9) — order-independent — then the total rounds to 6 dp.
+# decimal(18,9) — order-independent — then the total rounds to 6 dp; the
+# DuckDB oracle computes identical values from an explode-shaped plan.
 # --------------------------------------------------------------------------
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -170,37 +174,52 @@ BM25_B = 0.75
 def fulltext_topk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tl = sorted({t.lower() for t in FT_TERMS})
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("tok")
+    toks = tokens_col(F.col("text"), lower=True)
+
+    def tf_expr(term: str):
+        # NB: the HOF lambda must have arity 1 — a second parameter would
+        # make F.filter pass the ELEMENT INDEX into it
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_expr(t).alias(f"tf_{i}") for i, t in enumerate(tl)],
     )
-    lens = docs.select(
-        "doc_id", F.size(tokens_col(F.col("text"), lower=True)).alias("dl")
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(tl))
+        ],
     )
-    stats = lens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(tl))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tnorm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(BM25_K1)
-        * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
-    )
-    term_score = F.round(idf * tnorm, 9).cast("decimal(18,9)")
+    score = None
+    for i in range(len(tl)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tnorm = (F.col(f"tf_{i}") * F.lit(BM25_K1 + 1.0)) / (
+            F.col(f"tf_{i}")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        term = F.round(idf * tnorm, 9).cast("decimal(18,9)")
+        score = term if score is None else score + term
+    n_hits = None
+    for i in range(len(tl)):
+        h = F.col(f"tf_{i}")
+        n_hits = h if n_hits is None else n_hits + h
     return (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score).cast("double"), 6).alias("bm25"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(n_hits > 0)
+        .select("doc_id", F.round(score.cast("double"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(TOP_K)
     )

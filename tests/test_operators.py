@@ -332,14 +332,15 @@ def test_simhash_plan_single_exchange_no_bit_explode(spark):
     assert plan.count("Generate") == 1
 
 
-def test_bm25_plan_broadcasts_and_takeordered(spark):
-    """df posting sizes + corpus stats broadcast; top-k compiles to
-    TakeOrderedAndProject (no global sort); no SortMergeJoin anywhere."""
+def test_bm25_plan_zero_shuffle(spark):
+    """Round-3 shape: per-term tf/dl are array expressions, corpus stats a
+    broadcast single-row agg — NO hashpartitioning exchange anywhere, and
+    the top-k compiles to TakeOrderedAndProject."""
     from docling_rag_spark.operators.retrieval import fulltext_topk_bm25
 
     plan = _formatted_plan(fulltext_topk_bm25(spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
     assert "SortMergeJoin" not in plan
 
 

@@ -69,9 +69,10 @@ COMMENT = {
         "tokens ×32 into the shuffle)."
     ),
     "fulltext_topk_bm25": (
-        "BM25: tf HashAggregate on (doc_id, term) is the only wide stage "
-        "over filtered term hits; df posting sizes and the one-row corpus "
-        "stats both arrive via BroadcastExchange; TakeOrderedAndProject "
+        "BM25 (zero-shuffle): per-term tf and dl are ARRAY expressions over "
+        "each doc's token array — no explode, no hashpartitioning Exchange "
+        "anywhere (plan-asserted); the corpus stats (N, avgdl, per-term df) "
+        "are one single-row aggregate broadcast back; TakeOrderedAndProject "
         "caps the output."
     ),
     "hybrid_rrf_chunks": (
