@@ -90,11 +90,18 @@ def main() -> None:
     # long-running cluster's steady state is the number that matters)
     run_extraction(corpus.limit(64), run_id="warm")[0].count()
 
-    # flagship: extraction pipeline throughput
-    t0 = time.time()
-    extracted, chunks, lineage = run_extraction(corpus, run_id="bench")
-    n_spans = extracted.count()
-    extract_sec = time.time() - t0
+    # flagship: extraction pipeline throughput — min of 2 full runs, same
+    # stall-shedding discipline as the headline queries (this host randomly
+    # stalls a single Spark job ~40s; a one-shot flagship number is the
+    # most exposed measurement in the file)
+    extract_runs = []
+    n_spans = 0
+    for i in range(2):
+        t0 = time.time()
+        extracted, chunks, lineage = run_extraction(corpus, run_id=f"bench{i}")
+        n_spans = extracted.count()
+        extract_runs.append(time.time() - t0)
+    extract_sec = min(extract_runs)
     timings["extract_pipeline"] = round(extract_sec, 3)
     n_chunks = chunks.count()  # reported, not part of the throughput metric
     # release the extraction pipeline's persisted kernel output (2M+ text
@@ -141,6 +148,7 @@ def main() -> None:
         "cpus": int(cpus),
         "corpus_mult": mult,
         "queries_cold_first_run": cold,
+        "extract_pipeline_runs": [round(w, 3) for w in extract_runs],
     }
     spark.stop()
     print(json.dumps(result))
