@@ -826,6 +826,10 @@ def hybrid_search(
             .limit(top_k)
             .select("doc_id", F.col("s").alias(score_col))
         )
+    # rank windows are GLOBAL (no partitionBy) — safe ONLY because each
+    # input is pre-limited to `fetch` rows by TakeOrdered upstream; do NOT
+    # raise the over-fetch to something unbounded without partitioning
+    # this window (a partition-less window is a single-partition sort)
     rank_w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
     fused = (
         ft.withColumn("rank", F.row_number().over(rank_w))
