@@ -519,3 +519,88 @@ select doc_id, cluster_id from recursive_reach
 
 QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication stats (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): flag every EXSUB_WINDOW-
+# token window whose exact text occurs >=2 times corpus-wide, and report
+# the per-document repeated-window fraction (the removal step's input).
+# Relational shape: window-hash explode (md5 of the joined window — the
+# 32-char hash shuffles, never the text) → ONE shuffle on the hash for a
+# corpus-wide occurrence count (window function; no self-join, so a hot
+# boilerplate window costs partition imbalance, not quadratic rows) →
+# per-doc rollup. Lee et al. use 50-token windows; 16 here because the
+# sandbox docs are ~54 tokens.
+# --------------------------------------------------------------------------
+EXSUB_WINDOW = 16
+
+
+def exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text"), lower=True).alias("toks")
+    )
+    w = EXSUB_WINDOW
+    gram_expr = F.when(
+        F.size("toks") < w, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - w),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, w))),
+        )
+    )
+    grams = toks.select("doc_id", F.explode(gram_expr).alias("g"))
+    marked = grams.withColumn("c", F.count("*").over(Window.partitionBy("g")))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_repeated"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(F.col("n_repeated") / F.col("n_windows")),
+                6,
+            ).alias("repeated_frac"),
+        )
+    )
+
+
+EXACT_SUBSTRING_SQL = f"""
+with toks as (
+  select doc_id, {tokens_sql('text', lower=True)} as w from documents
+),
+grams as (
+  select doc_id,
+         md5(list_aggregate(w[i:i+{EXSUB_WINDOW - 1}], 'string_agg', ' ')) as g
+  from toks, unnest(range(1, len(w) - {EXSUB_WINDOW - 1} + 1)) as t(i)
+  where len(w) >= {EXSUB_WINDOW}
+),
+marked as (
+  select doc_id, count(*) over (partition by g) as c from grams
+),
+per_doc as (
+  select doc_id, count(*) as n_windows,
+         sum(case when c > 1 then 1 else 0 end)::bigint as n_repeated
+  from marked group by doc_id
+)
+select d.doc_id,
+       coalesce(p.n_windows, 0) as n_windows,
+       coalesce(p.n_repeated, 0) as n_repeated,
+       round(case when coalesce(p.n_windows, 0) = 0 then 0.0::double
+             else p.n_repeated / p.n_windows::double end, 6) as repeated_frac
+from (select doc_id from documents) d
+left join per_doc p using (doc_id)
+"""
+
+QUERIES["dedup_exact_substring"] = exact_substring_stats
+ORACLES["dedup_exact_substring"] = EXACT_SUBSTRING_SQL
