@@ -783,6 +783,66 @@ ORACLES["shipping_priority"] = SHIPPING_PRIORITY_SQL
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q18-shaped large-volume orders: aggregate-filter (HAVING) on the
+# fact table → semi-join-with-payload back to orders/customer → top-k.
+# The 100-TB plan: the HAVING-qualified key set is tiny (threshold picks
+# the tail), so it BROADCASTS into the orders join; lineitem is scanned
+# once with a map-side-combined partial agg; top-k is TakeOrdered.
+# --------------------------------------------------------------------------
+Q18_QTY_THRESHOLD = 250
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 4)
+            .cast("double")
+            .alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+with big as (
+  select l_orderkey,
+         round(sum(l_quantity::decimal(18,4)), 4)::double as total_qty
+  from lineitem
+  group by l_orderkey
+  having round(sum(l_quantity::decimal(18,4)), 4)::double > {Q18_QTY_THRESHOLD}
+)
+select c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice::decimal(18,4), 4)::double as o_totalprice,
+       total_qty
+from orders
+join big on o_orderkey = l_orderkey
+join customer on o_custkey = c_custkey
+order by o_totalprice desc, o_orderdate asc, o_orderkey asc
+limit 100
+"""
+
+QUERIES["large_orders"] = large_orders
+ORACLES["large_orders"] = LARGE_ORDERS_SQL
+
+
+# --------------------------------------------------------------------------
 # U2: hybrid with vector-only fallback (reference src/retrieval/search.py:
 # 26-46 — if fulltext returns 0 rows, skip fusion, return pure vector top-k)
 # --------------------------------------------------------------------------
