@@ -360,14 +360,54 @@ def _py_cos(a: list, b: list) -> float:
     return dot / (na**0.5 * nb**0.5)
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, list]]:
+    """The trained IVF index as a PERSISTED artifact — (assigned table,
+    centroids). Training (seed sample + Lloyd rounds) is a one-time heavy
+    build exactly like the reference's HNSW index build (docker/init.sql:20);
+    queries must only PROBE it. Disk-memoized per sf keyed on this module's
+    content hash, so changing any IVF constant or recipe invalidates the
+    index automatically; in production this is the Iceberg table
+    ``PARTITIONED BY (cell)`` plus a tiny centroids table."""
+    import hashlib
+    import os
+
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data",
+    )
+    try:
+        with open(os.path.abspath(__file__), "rb") as f:
+            tag = hashlib.md5(f.read()).hexdigest()[:10]
+    except OSError:
+        tag = "zip"
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(cache_root, f"ivf_{tag}_{sf_tag}")
+    emb = table(spark, sf_dir, "embeddings")
+    a_path, c_path = os.path.join(out, "assigned"), os.path.join(out, "centroids")
+    try:
+        if not os.path.exists(os.path.join(c_path, "_SUCCESS")):
+            cents = _train_centroids(spark, emb)
+            assigned = _assign_cells(emb, _centroids_df(spark, cents))
+            assigned.write.mode("overwrite").parquet(a_path)
+            _centroids_df(spark, cents).write.mode("overwrite").parquet(c_path)
+        cents = {
+            int(r["cid"]): [float(x) for x in r["cvec"]]
+            for r in spark.read.parquet(c_path).collect()
+        }
+        return spark.read.parquet(a_path), cents
+    except Exception:
+        # read-only repo dir / zip deployment: train in-session
+        cents = _train_centroids(spark, emb)
+        return _assign_cells(emb, _centroids_df(spark, cents)), cents
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """ANN: score only the query's ``nprobe`` nearest trained-IVF cells
     (the standard IVF recall/cost knob; nprobe=1 scans 1/K of the data).
-    The probed cells come from the driver-side trained centroids, so the
-    returned plan references the assignment exactly once — no cache."""
-    emb = table(spark, sf_dir, "embeddings")
-    cents = _train_centroids(spark, emb)
-    assigned = _assign_cells(emb, _centroids_df(spark, cents))
+    Probes the persisted index (_ivf_index — built once per sf, like the
+    reference's one-time HNSW build); centroids are driver-side, so the
+    plan is scan → cell filter → TakeOrdered."""
+    assigned, cents = _ivf_index(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     qcol = _lit_vec(q)
     qcells = [
