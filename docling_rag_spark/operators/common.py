@@ -34,9 +34,19 @@ def scoped_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
     post-release re-execution just recomputes, never errors) is unpersisted
     when the returned ``result`` object is garbage-collected — i.e. right
     after the caller's terminal action drops it (``fn(...).toPandas()``).
-    A long-lived session running many queries (the driver gate: 46 in one
-    session) no longer accumulates dead shingle/signature tables in executor
-    storage, and a caller that keeps the result alive keeps the cache warm.
+    A long-lived session running many queries (the driver gate runs the
+    whole contract in one session) no longer accumulates dead shingle/
+    signature tables in executor storage, and a caller that keeps the
+    result alive keeps the cache warm.
+
+    CALLER CONTRACT: hold the RETURNED object itself through your terminal
+    action. A caller that keeps only a DERIVED DataFrame (a .filter()/
+    .select() of the result) and drops the result releases the cache before
+    the derived plan runs — correct (lineage recomputes) but the cache is
+    silently wasted. Promptness also relies on CPython refcounting; on
+    other runtimes release waits for GC. Entry points that fan a cached
+    input into several outputs should unpersist explicitly after their own
+    terminal action instead of using this helper.
     """
     import weakref
 

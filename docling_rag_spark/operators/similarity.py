@@ -21,6 +21,11 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+try:  # pyspark >= 3.4 canonical location
+    from pyspark.errors import AnalysisException as _AnalysisException
+except ImportError:  # pragma: no cover
+    from pyspark.sql.utils import AnalysisException as _AnalysisException
+
 from .common import table
 
 TOP_K = 10
@@ -380,8 +385,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, l
             tag = hashlib.md5(f.read()).hexdigest()[:10]
     except OSError:
         tag = "zip"
+    from .extraction_queries import source_fingerprint
+
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(cache_root, f"ivf_{tag}_{sf_tag}")
+    out = os.path.join(
+        cache_root, f"ivf_{tag}_{sf_tag}_{source_fingerprint(sf_dir)}"
+    )
     emb = table(spark, sf_dir, "embeddings")
     a_path, c_path = os.path.join(out, "assigned"), os.path.join(out, "centroids")
     try:
@@ -395,8 +404,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, l
             for r in spark.read.parquet(c_path).collect()
         }
         return spark.read.parquet(a_path), cents
-    except Exception:
-        # read-only repo dir / zip deployment: train in-session
+    except (OSError, _AnalysisException) as e:
+        # read-only repo dir / zip deployment ONLY: train in-session. Any
+        # other failure (corrupt artifact, schema drift) must fail LOUD —
+        # a broad fallback would mask index corruption as a perf blip.
+        import warnings
+
+        warnings.warn(f"IVF index not persistable ({e!r}); training in-session")
         cents = _train_centroids(spark, emb)
         return _assign_cells(emb, _centroids_df(spark, cents)), cents
 

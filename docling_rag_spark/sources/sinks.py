@@ -11,9 +11,21 @@ twice leaves one copy per id.
 from __future__ import annotations
 
 import os
+import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def _check_ident(table_ident: str) -> str:
+    """Validate a dotted table identifier before interpolating it into SQL
+    (MERGE/DELETE below take no bind parameters for table names)."""
+    if not _IDENT_RE.match(table_ident):
+        raise ValueError(f"invalid table identifier: {table_ident!r}")
+    return table_ident
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -38,13 +50,18 @@ def _merge_not_matched(
     """Iceberg idempotent append: ``MERGE INTO ... WHEN NOT MATCHED THEN
     INSERT *`` — the exact reference contract (ON CONFLICT DO NOTHING,
     src/storage/postgres.py:98-124) as one atomic snapshot commit."""
-    view = "_idem_src"
+    # unique per-call view: two concurrent appends in one SparkSession must
+    # not clobber each other's source between view creation and the MERGE
+    view = f"_idem_src_{uuid.uuid4().hex}"
     df.dropDuplicates(keys).createOrReplaceTempView(view)
-    on = " and ".join(f"t.{k} = s.{k}" for k in keys)
-    spark.sql(
-        f"merge into {table_ident} t using {view} s on {on} "
-        "when not matched then insert *"
-    )
+    try:
+        on = " and ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"merge into {_check_ident(table_ident)} t using {view} s on {on} "
+            "when not matched then insert *"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def idempotent_append(
@@ -169,11 +186,15 @@ def delete_docs(
     (anti-join, write tmp, atomic-rename swap — with crash recovery via
     _recover_swap on every entry)."""
     if iceberg_table and iceberg_available(spark):
-        doc_ids.select("doc_id").distinct().createOrReplaceTempView("_del_ids")
-        spark.sql(
-            f"delete from {iceberg_table} "
-            "where doc_id in (select doc_id from _del_ids)"
-        )
+        view = f"_del_ids_{uuid.uuid4().hex}"
+        doc_ids.select("doc_id").distinct().createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                f"delete from {_check_ident(iceberg_table)} "
+                f"where doc_id in (select doc_id from {view})"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         return
     _recover_swap(path)
     if not _has_parquet_files(path):

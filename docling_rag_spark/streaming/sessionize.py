@@ -202,7 +202,11 @@ def _sessionize_ordered_fn(
     rest = [e for e in buf if e[0] > wm_us]
     closed: list = []
     cur = _fold_events(cur, ready, closed)
-    if cur is not None and not rest and wm_us > cur[1] + _GAP_US:
+    # Close the open session whenever the watermark is past end+gap, even
+    # with events still buffered: any pending event has ts > wm > end+gap,
+    # so it must start a NEW session — holding cur open would withhold a
+    # provably-closed session forever if the stream ends in this state.
+    if cur is not None and wm_us > cur[1] + _GAP_US:
         closed.append((*cur, "timeout"))
         cur = None
 

@@ -224,3 +224,38 @@ def test_ordered_sessionize_tolerates_out_of_order_arrival(spark, tmp_path):
     assert len(got_rows) == len(got)  # no duplicate emissions
     assert got == expected
     assert len(expected) == 6  # sanity: 3 provably-closed sessions per user
+
+
+def test_ordered_sessionize_emits_closed_session_despite_buffered_tail(
+    spark, tmp_path
+):
+    """Round-3 advice: when the stream ENDS with events buffered beyond the
+    watermark, an earlier open session whose end+gap is below the final
+    watermark must still be emitted (closed_by='timeout'). The old `not
+    rest` guard withheld it forever."""
+    from docling_rag_spark.streaming.sessionize import sessionize_stream_ordered
+
+    base = dt.datetime(2026, 2, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    rows_a = [
+        (1, base, 1, "a", 1.0, None),
+        (2, base + 10 * m, 1, "a", 2.0, None),
+    ]
+    # a single far-future event: final watermark = base+10h-1h = base+9h,
+    # which is PAST sessionA.end+gap (base+40m) but BEFORE this event — so
+    # it stays buffered ("rest") when the stream ends
+    rows_b = [(3, base + 10 * h, 1, "a", 3.0, None)]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    for rows in (rows_a, rows_b):
+        spark.createDataFrame(rows, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+    sessionize_stream_ordered(spark, inp, out, watermark_delay="1 hour")
+
+    got = spark.read.parquet(os.path.join(out, "sessions")).collect()
+    assert {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_value"], r["closed_by"])
+        for r in got
+    } == {(1, base, base + 10 * m, 2, 3.0, "timeout")}
