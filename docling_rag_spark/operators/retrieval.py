@@ -349,14 +349,26 @@ from documents
 """
 
 
-# T4: ordered pagination via row_number (reference LIMIT/OFFSET,
-# src/storage/postgres.py:833-838)
+# T4: ordered pagination (reference LIMIT/OFFSET,
+# src/storage/postgres.py:833-838). Scale shape: orderBy().limit(offset+page)
+# compiles to TakeOrderedAndProject — a DISTRIBUTED partial top-k, never a
+# single-partition global sort — and the row_number window then runs over
+# only those <= offset+page rows. The former global partition-less
+# row_number moved EVERY row through one task: a 100-TB scale-killer.
+# Deep offsets (offset >> page) should use keyset/cursor pagination instead:
+# WHERE (n_chars, doc_id) < (last_seen_n_chars, last_seen_doc_id) ORDER BY
+# ... LIMIT page — same TakeOrdered plan with the offset cost removed.
 def paginate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    top = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(2 * PAGE_SIZE)
+    )
     w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
-        docs.select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
-        .filter((F.col("rn") > PAGE_SIZE) & (F.col("rn") <= 2 * PAGE_SIZE))
+        top.select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") > PAGE_SIZE)
         .select("doc_id", "n_chars", "rn")
     )
 

@@ -401,3 +401,20 @@ def test_pii_redaction_cross_engine(spark):
     assert got[1][1] == 2 and "<EMAIL>" in got[1][0]
     assert got[2][2] >= 1 and "<PHONE>" in got[2][0]
     assert got[4] == ("no pii here at all", 0, 0)
+
+
+def test_paginate_plan_take_ordered_no_global_sort(spark):
+    """Round-4 shape (verdict #2): pagination pre-limits via
+    TakeOrderedAndProject (distributed partial top-k); the row_number window
+    runs over <= offset+page rows, never a full-table single-partition sort.
+    A SinglePartition exchange feeding a full-table Sort is the scale-killer
+    this guards against."""
+    from docling_rag_spark.operators.retrieval import paginate_docs
+
+    plan = _formatted_plan(paginate_docs(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the only acceptable single-partition movement is of the pre-limited
+    # top rows: no global Sort directly over the parquet scan
+    import re
+
+    assert not re.search(r"Sort .*\n.*Exchange rangepartitioning", plan)
