@@ -67,3 +67,20 @@ def oracle_sql() -> dict[str, str]:
     for m in _MODULES:
         out.update(m.ORACLES)
     return out
+
+
+# --- NOT part of the driver contract: queries retired from the 50-slot
+# contract (subsumed by a stronger exposed variant) but still oracle-checked
+# locally (tests/test_extended_oracles.py, tools/oracle_check.py --extra).
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        out.update(getattr(m, "EXTRA_QUERIES", {}))
+    return out
+
+
+def extended_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(getattr(m, "EXTRA_ORACLES", {}))
+    return out

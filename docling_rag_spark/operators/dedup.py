@@ -60,12 +60,14 @@ from documents group by md5(text)
 # --------------------------------------------------------------------------
 # MinHash + LSH banding (shingle → md5 minhash → band signature → bucket join)
 # --------------------------------------------------------------------------
-def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """Stage the token array as a real column BEFORE the shingle lambda:
+def shingle_rows_from(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram rows (id, shingle) for ANY (id, text) input —
+    the shared front of doc-level and chunk-level minhash/jaccard.
+
+    Stage the token array as a real column BEFORE the shingle lambda:
     referencing the raw shingles_col(text) expression duplicates the whole
     regexp-tokenize tree at every lambda use (huge codegen, ~10× slower)."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col(F.col("text"), lower=True).alias("toks"))
+    toks = df.select(id_col, tokens_col(F.col("text"), lower=True).alias("toks"))
     # CRITICAL plan shape: explode() must sit directly over the shingle
     # expression in the select ABOVE the token projection. Aliasing the
     # shingle array in its own intermediate projection lets CollapseProject
@@ -81,20 +83,24 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             )
         )
     )
-    return toks.select("doc_id", F.explode(shingle_expr).alias("shingle"))
+    return toks.select(id_col, F.explode(shingle_expr).alias("shingle"))
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs sharing >=1 of NUM_BANDS band signatures.
-    Band signature = lexicographic min of md5('{band}|{shingle}') over the
-    doc's distinct shingles (portable: min over strings in both engines).
+def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    return shingle_rows_from(table(spark, sf_dir, "documents"), "doc_id", n)
 
-    All NUM_BANDS signatures come out of ONE groupBy(doc_id) as parallel
-    min-aggregates (then a tiny per-doc stack melt) — no band×shingle row
-    explosion before the shuffle; map-side combine sends one row per doc
-    per partition. Measured ~20% faster than the explode form at sf0.1 and
-    4× fewer shuffle rows at any scale."""
-    sh = _shingle_rows(spark, sf_dir)
+
+def band_sig_pairs(
+    sh: DataFrame, id_col: str, out_a: str | None = None, out_b: str | None = None
+) -> DataFrame:
+    """Shared minhash-LSH core over (id, shingle) rows: NUM_BANDS parallel
+    min-aggregates in ONE groupBy → band/sig melt → banded self-join.
+    Returns (out_a, out_b, n_shared_bands) — default {id_col}_a/_b; the
+    output names are parameters (NOT renamed post-hoc) so the scoped cache
+    stays tied to the frame the caller actually holds. Ids compare with the
+    column's native ordering (bigint doc ids, md5-hex chunk ids)."""
+    out_a = out_a or f"{id_col}_a"
+    out_b = out_b or f"{id_col}_b"
     band_aggs = [
         F.min(
             F.md5(F.concat_ws("|", F.lit(str(b)), F.col("shingle")))
@@ -103,9 +109,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     stack = ", ".join(f"{b}, s{b}" for b in range(NUM_BANDS))
     sigs = (
-        sh.groupBy("doc_id")
+        sh.groupBy(id_col)
         .agg(*band_aggs)
-        .selectExpr("doc_id", f"stack({NUM_BANDS}, {stack}) as (band, sig)")
+        .selectExpr(id_col, f"stack({NUM_BANDS}, {stack}) as (band, sig)")
         # cached: the self-join references sigs twice and each branch would
         # otherwise recompute the full shingle+md5 pipeline; released when
         # the caller drops the result (scoped_cache)
@@ -119,14 +125,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
         )
         .agg(F.count("*").alias("n_shared_bands")),
         sigs,
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs sharing >=1 of NUM_BANDS band signatures.
+    Band signature = lexicographic min of md5('{band}|{shingle}') over the
+    doc's distinct shingles (portable: min over strings in both engines).
+
+    All NUM_BANDS signatures come out of ONE groupBy(doc_id) as parallel
+    min-aggregates (then a tiny per-doc stack melt) — no band×shingle row
+    explosion before the shuffle; map-side combine sends one row per doc
+    per partition. Measured ~20% faster than the explode form at sf0.1 and
+    4× fewer shuffle rows at any scale."""
+    return band_sig_pairs(_shingle_rows(spark, sf_dir), "doc_id", "doc_a", "doc_b")
 
 
 MINHASH_LSH_SQL = f"""

@@ -286,11 +286,13 @@ MEDIA_TRANSFORM_SQL = _media_transform_sql()
 
 QUERIES = {
     "media_features": media_features,
-    "media_stats": media_stats,
     "media_transform": media_transform,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
-    "media_stats": MEDIA_STATS_SQL,
     "media_transform": MEDIA_TRANSFORM_SQL,
 }
+# media_stats is a rollup of media_features — retired from the 50-slot
+# driver contract, oracle-checked by tests/test_extended_oracles.py.
+EXTRA_QUERIES = {"media_stats": media_stats}
+EXTRA_ORACLES = {"media_stats": MEDIA_STATS_SQL}

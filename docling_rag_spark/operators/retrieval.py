@@ -676,10 +676,8 @@ from chunks c join fused using (id)
 """
 
 QUERIES = {
-    "fulltext_topk": fulltext_topk,
     "fulltext_topk_cd": fulltext_topk_cd,
     "fulltext_topk_bm25": fulltext_topk_bm25,
-    "hybrid_rrf": hybrid_rrf,
     "hybrid_rrf_rehydrated": hybrid_rrf_rehydrated,
     "hybrid_rrf_chunks": hybrid_rrf_chunks,
     "doc_meta_agg": doc_meta_agg,
@@ -692,10 +690,8 @@ QUERIES = {
     "chunk_documents": chunk_documents_sql_variant,
 }
 ORACLES = {
-    "fulltext_topk": FULLTEXT_SQL,
     "fulltext_topk_cd": FULLTEXT_CD_SQL,
     "fulltext_topk_bm25": FULLTEXT_BM25_SQL,
-    "hybrid_rrf": HYBRID_RRF_SQL,
     "hybrid_rrf_rehydrated": HYBRID_REHYDRATE_SQL,
     "hybrid_rrf_chunks": HYBRID_RRF_CHUNKS_SQL,
     "doc_meta_agg": DOC_META_SQL,
@@ -706,6 +702,18 @@ ORACLES = {
     "pricing_summary": PRICING_SQL,
     "revenue_by_nation": REVENUE_SQL,
     "chunk_documents": CHUNK_SQL,
+}
+# Retired from the 50-slot driver contract (cd/BM25 supersede the plain
+# token-overlap ranker; hybrid_rrf_rehydrated contains hybrid_rrf's fusion;
+# Q18+revenue keep the TPC-H join/agg shapes) — still oracle-checked by
+# tests/test_extended_oracles.py.
+EXTRA_QUERIES = {
+    "fulltext_topk": fulltext_topk,
+    "hybrid_rrf": hybrid_rrf,
+}
+EXTRA_ORACLES = {
+    "fulltext_topk": FULLTEXT_SQL,
+    "hybrid_rrf": HYBRID_RRF_SQL,
 }
 
 
@@ -790,8 +798,8 @@ order by revenue desc, l_orderkey asc
 limit 10
 """
 
-QUERIES["shipping_priority"] = shipping_priority
-ORACLES["shipping_priority"] = SHIPPING_PRIORITY_SQL
+EXTRA_QUERIES["shipping_priority"] = shipping_priority
+EXTRA_ORACLES["shipping_priority"] = SHIPPING_PRIORITY_SQL
 
 
 # --------------------------------------------------------------------------

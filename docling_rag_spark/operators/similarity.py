@@ -221,14 +221,17 @@ limit {LSH_TOP_K}
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
-    "knn_lsh": knn_lsh,
     "knn_lsh_multiprobe": knn_lsh_multiprobe,
 }
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
-    "knn_lsh": KNN_LSH_SQL,
     "knn_lsh_multiprobe": KNN_LSH_MULTIPROBE_SQL,
 }
+# Retired from the 50-slot driver contract (multiprobe subsumes the
+# single-bucket probe; batch ANN subsumes nprobe=2) but still oracle-checked
+# by tests/test_extended_oracles.py — correctness evidence stays local.
+EXTRA_QUERIES = {"knn_lsh": knn_lsh}
+EXTRA_ORACLES = {"knn_lsh": KNN_LSH_SQL}
 
 
 # --------------------------------------------------------------------------
@@ -448,6 +451,62 @@ def knn_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(spark, sf_dir, nprobe=2)
 
 
+# Batch-of-queries ANN (round-4 verdict #3): N query vectors against the
+# persisted IVF index in ONE plan. The query set is a deterministic slice of
+# the embeddings table (vec_id % BATCH_Q_MOD == 0) standing in for "the
+# vectors a dedup/serving pipeline would look up this batch".
+BATCH_Q_MOD = 37
+BATCH_TOP_K = 5
+
+
+def knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF top-k for a whole BATCH of query vectors in one plan:
+    queries ⋈ broadcast centroids → nearest cell per query (nprobe=1) →
+    broadcast-join the tiny (qid, cell, qv) table against the cell-
+    partitioned index → score → per-query top-k window.
+
+    Scale shape: the index side is scanned ONCE and only the probed cells'
+    rows survive the broadcast hash join (on a real cluster the Iceberg
+    index table is PARTITIONED BY (cell), so non-probed cells prune at the
+    scan); each query pays ~corpus/K candidate rows, and the only shuffle is
+    the per-qid window over candidates — never a crossJoin against the full
+    table. The reference serves one query per HNSW probe
+    (src/storage/postgres.py:127-164); this is the pipeline-scale analog."""
+    from pyspark.sql import Window
+
+    assigned, cents = _ivf_index(spark, sf_dir)
+    cdf = _centroids_df(spark, cents)
+    q = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % BATCH_Q_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    csim = _dot(F.col("qv"), F.col("cvec")) / (
+        _norm(F.col("qv")) * _norm(F.col("cvec"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    qcell = (
+        q.crossJoin(F.broadcast(cdf))  # ≤ IVF_CENTROIDS rows per query
+        .withColumn("csim", csim)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qv", F.col("cid").alias("cell"))
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qv"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+        6,
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(qcell), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "label", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+    )
+
+
 def _assign_sql(cents: str, out: str) -> str:
     return f"""
 {out} as materialized (
@@ -558,6 +617,61 @@ limit {IVF_TOP_K}
 
 
 KNN_IVF_SQL = _knn_ivf_sql()
+
+
+def _knn_ivf_batch_sql() -> str:
+    """Static replay of knn_ivf_batch: same training CTE chain as
+    _knn_ivf_sql, then per-query nearest cell + per-query ranked scoring."""
+    parts = _seed_sql_parts()
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(_assign_sql(prev, f"a{it}"))
+        parts.append(_mean_sql(f"a{it}", prev, f"c{it}"))
+        prev = f"c{it}"
+    parts.append(_assign_sql(prev, "assigned"))
+    ctes = ",\n".join(parts)
+    csim = (
+        f"{_dot_sql('q.qv', 'c.cvec')}"
+        f" / (sqrt({_dot_sql('q.qv', 'q.qv')})"
+        f" * sqrt({_dot_sql('c.cvec', 'c.cvec')}))"
+    )
+    sim = (
+        f"{_dot_sql('a.embedding', 'qc.qv')}"
+        f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_sql('qc.qv', 'qc.qv')}))"
+    )
+    return f"""
+with {ctes},
+q as materialized (
+  select vec_id as qid, embedding as qv from embeddings
+  where vec_id % {BATCH_Q_MOD} = 0
+),
+qcell as materialized (
+  select qid, qv, cell from (
+    select q.qid, q.qv, c.cid as cell,
+           row_number() over (
+             partition by q.qid order by {csim} desc, c.cid asc
+           ) as rn
+    from q cross join {prev} c
+  ) where rn = 1
+),
+scored as materialized (
+  select qc.qid, a.vec_id, a.label,
+         round({sim}, 6) as cosine_sim
+  from assigned a join qcell qc on a.cell = qc.cell
+  where a.vec_id != qc.qid
+)
+select qid, vec_id, label, cosine_sim, rank from (
+  select qid, vec_id, label, cosine_sim,
+         row_number() over (
+           partition by qid order by cosine_sim desc, vec_id asc
+         ) as rank
+  from scored
+) where rank <= {BATCH_TOP_K}
+"""
+
+
+KNN_IVF_BATCH_SQL = _knn_ivf_batch_sql()
 
 EMB_DEDUP_THRESHOLD = 0.35
 # Multi-band LSH for near-dup candidates: EMB_BANDS independent hyperplane
@@ -686,8 +800,10 @@ where round({_dot_sql('ea.embedding', 'eb.embedding')}
 EMB_DEDUP_SQL = _emb_dedup_sql()
 
 QUERIES["knn_ivf"] = knn_ivf
-QUERIES["knn_ivf_probe2"] = knn_ivf_probe2
+QUERIES["knn_ivf_batch"] = knn_ivf_batch
 QUERIES["dedup_embedding"] = embedding_near_dup
 ORACLES["knn_ivf"] = KNN_IVF_SQL
-ORACLES["knn_ivf_probe2"] = _knn_ivf_sql(nprobe=2)
+ORACLES["knn_ivf_batch"] = KNN_IVF_BATCH_SQL
 ORACLES["dedup_embedding"] = EMB_DEDUP_SQL
+EXTRA_QUERIES["knn_ivf_probe2"] = knn_ivf_probe2
+EXTRA_ORACLES["knn_ivf_probe2"] = _knn_ivf_sql(nprobe=2)

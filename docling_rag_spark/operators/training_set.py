@@ -150,13 +150,136 @@ where doc_id % {DECON_EVAL_MOD} != 0
 group by doc_id
 """
 
+# --------------------------------------------------------------------------
+# The end-to-end flagship (round-4 verdict #6): corpus → EXTRACT → chunk →
+# quality ∧ lang ∧ near-dup ∧ decontaminate → selected training chunk set.
+# This is the pipeline the engine exists for: every stage is the already-
+# benchmarked operator, composed over REAL extraction output rather than the
+# synthetic documents table. The oracle side takes the chunk table from the
+# committed extraction golden (content-digest selected) and replays the
+# selection in static SQL.
+# --------------------------------------------------------------------------
+CHUNK_MIN_TOKENS = 10
+
+
+def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the training-ready subset of EXTRACTED chunks.
+
+    Filters, each the production operator at chunk granularity:
+    - holdout: chunks of eval docs (doc_id % DECON_EVAL_MOD == 0) excluded;
+    - quality: chunker token count floor + stopword-ratio floor;
+    - language: predicted en only;
+    - near-dup: drop the lexicographically-higher chunk id of every strong
+      (>= STRONG_BANDS shared band signatures) MinHash-LSH pair;
+    - decontamination: drop any chunk sharing a word 13-gram with the
+      holdout chunks (eval gram set broadcasts — no training-side shuffle).
+
+    Scale shape: the chunk table is the extraction output (Iceberg at
+    production scale); dup/contaminated id sets are ~the removal rate of the
+    corpus and broadcast into anti-joins; the only big shuffles are the two
+    shingle groupBys already benchmarked in the dedup suite."""
+    from ..functions.text import shingles_col
+    from .dedup import band_sig_pairs, shingle_rows_from
+    from .extraction_queries import extract_chunks_q
+
+    chunks = extract_chunks_q(spark, sf_dir)
+    is_eval = F.col("doc_id").cast("bigint") % DECON_EVAL_MOD == 0
+    dups = (
+        band_sig_pairs(shingle_rows_from(chunks, "id"), "id")
+        .filter(F.col("n_shared_bands") >= STRONG_BANDS)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    gsh = chunks.select(
+        "id",
+        is_eval.alias("is_eval"),
+        F.explode(shingles_col(F.col("text"), n=DECON_NGRAM)).alias("g"),
+    )
+    eval_grams = gsh.filter(F.col("is_eval")).select("g").distinct()
+    contaminated = (
+        gsh.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g")
+        .select("id")
+        .distinct()
+    )
+    scored = chunks.filter(~is_eval).select(
+        "id",
+        "doc_id",
+        "chunk_index",
+        "n_tokens",
+        F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
+        detect_language_col(F.col("text")).alias("pred_lang"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= CHUNK_MIN_TOKENS)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+        & (F.col("pred_lang") == "en")
+    )
+    return kept.join(F.broadcast(dups), "id", "left_anti").join(
+        F.broadcast(contaminated), "id", "left_anti"
+    )
+
+
+def _training_subset_chunks_sql() -> str:
+    from .dedup import NUM_BANDS
+    from .extraction_queries import _CORPUS_KEY_SQL, _golden
+
+    return f"""
+with chunks as materialized (
+  select doc_id, chunk_index, text, n_tokens, id
+  from read_parquet('{_golden("extract_chunks_golden.parquet")}')
+  where corpus_key = {_CORPUS_KEY_SQL}
+),
+sh as materialized (
+  select id, unnest({dsql.shingles_sql('text')}) as shingle from chunks
+),
+sigs as materialized (
+  select id, band, min(md5(band::varchar || '|' || shingle)) as sig
+  from sh, unnest(range(0, {NUM_BANDS})) as t(band)
+  group by id, band
+),
+dups as materialized (
+  select distinct id_b as id from (
+    select a.id as id_a, b.id as id_b, count(*) as nb
+    from sigs a join sigs b on a.band = b.band and a.sig = b.sig and a.id < b.id
+    group by a.id, b.id
+  ) where nb >= {STRONG_BANDS}
+),
+gsh as materialized (
+  select id, doc_id::bigint % {DECON_EVAL_MOD} = 0 as is_eval,
+         unnest({dsql.shingles_sql('text', n=DECON_NGRAM)}) as g
+  from chunks
+),
+ev as materialized (select distinct g from gsh where is_eval),
+contaminated as materialized (
+  select distinct id from gsh join ev using (g) where not is_eval
+)
+select id, doc_id, chunk_index, n_tokens, stopword_ratio, pred_lang from (
+  select id, doc_id, chunk_index, n_tokens,
+         round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio,
+         {dsql.detect_language_sql('text')} as pred_lang
+  from chunks
+  where doc_id::bigint % {DECON_EVAL_MOD} != 0
+)
+where n_tokens >= {CHUNK_MIN_TOKENS}
+  and stopword_ratio >= {MIN_STOPWORD_RATIO}
+  and pred_lang = 'en'
+  and id not in (select id from dups)
+  and id not in (select id from contaminated)
+"""
+
+
+TRAINING_SUBSET_CHUNKS_SQL = _training_subset_chunks_sql()
+
 QUERIES = {
     "training_subset": training_subset,
+    "training_subset_chunks": training_subset_chunks,
     "stratified_sample": stratified_sample,
     "decontaminate": decontaminate,
 }
 ORACLES = {
     "training_subset": TRAINING_SUBSET_SQL,
+    "training_subset_chunks": TRAINING_SUBSET_CHUNKS_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "decontaminate": DECONTAMINATE_SQL,
 }

@@ -418,3 +418,18 @@ def test_paginate_plan_take_ordered_no_global_sort(spark):
     import re
 
     assert not re.search(r"Sort .*\n.*Exchange rangepartitioning", plan)
+
+
+def test_knn_ivf_batch_plan_no_full_table_crossjoin(spark):
+    """Round-4 shape (verdict #3): batch ANN joins the cell-partitioned
+    index via a BroadcastHashJoin on cell (tiny qcell side built), never a
+    cartesian/nested-loop against the full vector table; per-query top-k is
+    WindowGroupLimit-pruned map-side before the qid shuffle. The only
+    nested-loop join allowed is queries x (<= IVF_CENTROIDS) centroids."""
+    from docling_rag_spark.operators.similarity import knn_ivf_batch
+
+    plan = _formatted_plan(knn_ivf_batch(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [cell" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid broadcast only
+    assert "WindowGroupLimit" in plan

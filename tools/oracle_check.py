@@ -41,8 +41,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--extra"]
+    include_extra = "--extra" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark(master="local[8]", app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -51,6 +53,9 @@ def main() -> int:
             f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = e.queries(), e.oracle_sql()
+    if include_extra or (only and only - set(qs)):
+        qs = {**qs, **e.extended_queries()}
+        oracles = {**oracles, **e.extended_oracle_sql()}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
