@@ -281,45 +281,17 @@ GOPHER_TOP2_FRAC_MAX = 0.20
 GOPHER_TOP3_FRAC_MAX = 0.18
 
 
-def _top_gram_frac(toks: DataFrame, n: int, out: str) -> DataFrame:
-    """(doc_id, <out>): char fraction of the most frequent word n-gram —
-    count(top) * len(top) / len(tidy text); ties → lexicographically
-    smallest gram. Docs with < n tokens are absent (caller left-joins)."""
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 shape (verdict #4): ONE documents scan, ONE tokenization.
+    The old plan ran three branches off the tokenized base (stats, top-2-
+    gram, top-3-gram) = three scans + three regex tokenizations per doc.
+    Now the per-doc scalar stats are computed under a single tagged n-gram
+    Generate (structs (n, gram) for n∈{2,3}, explode_outer so token-poor
+    docs survive), ride through the gram count groupBy as max() aggregates
+    (constant per doc), and the two top-gram fractions pivot back out of
+    one (doc_id, n) window."""
     from pyspark.sql import Window
 
-    arr = F.col("toks")
-    grams = toks.select(
-        "doc_id",
-        "n_chars",
-        F.explode(
-            F.when(F.size(arr) < n, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(arr) - n),
-                    lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
-                )
-            )
-        ).alias("gram"),
-    )
-    counts = grams.groupBy("doc_id", "n_chars", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.round(
-                F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
-                    F.col("cnt") * F.length("gram") / F.col("n_chars")
-                ),
-                6,
-            ).alias(out),
-        )
-    )
-
-
-def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens_col
     from ..kernels.textutils import LANG_MARKERS
 
@@ -331,8 +303,23 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     markers = sorted(dict(LANG_MARKERS)["en"])
     marr = F.array(*[F.lit(m) for m in markers])
-    stats = base.select(
+
+    def tagged(n: int):
+        # single-parameter def, NOT `lambda i, n=n:` — a 2-param pyspark HOF
+        # lambda silently binds its 2nd arg to the ELEMENT INDEX
+        def mk(i):
+            return F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.concat_ws(" ", F.slice("toks", i + 1, n)).alias("gram"),
+            )
+
+        return F.when(
+            F.size("toks") < n, F.array().cast("array<struct<n:int,gram:string>>")
+        ).otherwise(F.transform(F.sequence(F.lit(0), F.size("toks") - n), mk))
+
+    rows = base.select(
         "doc_id",
+        "n_chars",
         F.size("toks").alias("n_words"),
         F.round(
             F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
@@ -346,14 +333,37 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.array_distinct(F.filter("toks", lambda t: F.array_contains(marr, t)))
         ).alias("stop_hits"),
+        F.explode_outer(F.concat(tagged(2), tagged(3))).alias("g"),
     )
-    top2 = _top_gram_frac(base, 2, "top2_char_frac")
-    top3 = _top_gram_frac(base, 3, "top3_char_frac")
-    out = (
-        stats.join(top2, "doc_id", "left")
-        .join(top3, "doc_id", "left")
-        .withColumn("top2_char_frac", F.coalesce("top2_char_frac", F.lit(0.0)))
-        .withColumn("top3_char_frac", F.coalesce("top3_char_frac", F.lit(0.0)))
+    counts = rows.groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")).agg(
+        F.count("*").alias("cnt"),
+        F.max("n_chars").alias("n_chars"),
+        F.max("n_words").alias("n_words"),
+        F.max("mean_word_len").alias("mean_word_len"),
+        F.max("stop_hits").alias("stop_hits"),
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    frac = F.round(
+        F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+            F.col("cnt") * F.length("gram") / F.col("n_chars")
+        ),
+        6,
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("frac", frac)
+    )
+    out = top.groupBy("doc_id").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("mean_word_len").alias("mean_word_len"),
+        F.max("stop_hits").alias("stop_hits"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 2, F.col("frac"))), F.lit(0.0)
+        ).alias("top2_char_frac"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 3, F.col("frac"))), F.lit(0.0)
+        ).alias("top3_char_frac"),
     )
     keep = (
         F.col("n_words").between(GOPHER_WORDS_MIN, GOPHER_WORDS_MAX)

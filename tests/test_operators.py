@@ -433,3 +433,14 @@ def test_knn_ivf_batch_plan_no_full_table_crossjoin(spark):
     assert "BroadcastHashJoin [cell" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid broadcast only
     assert "WindowGroupLimit" in plan
+
+
+def test_gopher_plan_single_documents_scan(spark):
+    """Round-4 shape (verdict #4): gopher filters derive stats + top-2-gram
+    + top-3-gram from ONE documents scan / ONE tokenization (tagged n-gram
+    explode), not three branches."""
+    from docling_rag_spark.operators.textstats import gopher_quality
+
+    plan = _formatted_plan(gopher_quality(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Generate") == 1  # one tagged explode
