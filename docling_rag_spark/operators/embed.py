@@ -130,3 +130,28 @@ def embed_chunks(chunks: DataFrame) -> DataFrame:
     between chunking and the vector sink, src/ingestion/pipeline.py:39-44).
     Arrow-batched; per-executor model singleton."""
     return chunks.withColumn("embedding", embed_udf()(F.col("text")))
+
+
+def fake_embed_ctes(src: str, id_col: str, out: str, float32: bool = True) -> str:
+    """DuckDB CTE pair ``<out>_raw`` → ``<out>``: the deterministic stand-in
+    embedding of each row's ``text`` in ``src``, staged (raw values → unit
+    normalization) exactly like _embed_sql. ``float32=True`` replays the
+    pandas UDF's array<float> quantization; False keeps full doubles (the
+    shape of a driver-side literal query vector)."""
+    from .common import hexn_to_bigint_sql
+
+    h8 = hexn_to_bigint_sql("md5(i::varchar || '|' || coalesce(text, ''))", 8)
+    cast = "::float" if float32 else ""
+    return f"""
+{out}_raw as materialized (
+  select {id_col}, list_transform(range(0, {EMBED_DIM}),
+         i -> ({h8}::double / 4294967295.0) * 2.0 - 1.0) as raw
+  from {src}
+),
+{out} as materialized (
+  select {id_col},
+         list_transform(raw,
+           x -> (x / sqrt(list_sum(list_transform(raw, y -> y * y)))){cast}
+         ) as emb
+  from {out}_raw
+)"""

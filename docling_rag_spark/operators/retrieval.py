@@ -576,15 +576,21 @@ select * from rehydrated
 # W2 at CHUNK granularity (reference parity): the reference fuses over
 # chunk ids and rehydrates chunk ROWS (src/retrieval/search.py:30-35 →
 # src/storage/postgres.py:201-224 WHERE id = ANY(%s)), not documents.
-# Fulltext arm: cover-density over each chunk's text. Vector arm: chunks
-# ranked by their parent document's embedding similarity (the sandbox has
-# doc-level vectors; ties broken by chunk id — at chunk-embedding scale
-# swap in the chunk vector column, the fusion/rehydration shape is
-# identical). Fusion: RRF k=60 over chunk ids, over-fetch ×3, final top-k
-# rehydrated against the chunks table via broadcast semi-join-with-payload.
+# Fulltext arm: cover-density over each chunk's text. Vector arm (round-4
+# verdict #10): CHUNK-level embeddings — the embed stage's deterministic
+# stand-in encodes each chunk's text AND the query text, and chunks rank by
+# their own vector's cosine to the query vector, matching the reference's
+# chunk-granularity vectors (docker/init.sql:10,
+# src/storage/postgres.py:127-164). Fusion: RRF k=60 over chunk ids,
+# over-fetch ×3, final top-k rehydrated against the chunks table via
+# broadcast semi-join-with-payload.
 # --------------------------------------------------------------------------
+CHUNK_QUERY_TEXT = " ".join(FT_TERMS)  # one query feeds both arms
+
+
 def hybrid_rrf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import scoped_cache
+    from .embed import _fake_embed, embed_udf
 
     # cached: referenced by both arms + the rehydration join; released when
     # the caller drops the result
@@ -598,19 +604,13 @@ def hybrid_rrf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s"), F.asc("id"))
         .limit(fetch)
     )
-    emb = table(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir)
-    qcol = _lit_vec(q)
+    qcol = _lit_vec(_fake_embed(CHUNK_QUERY_TEXT))
+    cemb = chunks.select("id", embed_udf()(F.col("text")).alias("embedding"))
     sim = F.round(
         _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
     )
-    doc_sims = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        F.col("vec_id").alias("doc_id"), sim.alias("s")
-    )
     vec = (
-        chunks.select("doc_id", "id")
-        .join(doc_sims, "doc_id")
-        .select("id", "s")
+        cemb.select("id", sim.alias("s"))
         .orderBy(F.desc("s"), F.asc("id"))
         .limit(fetch)
     )
@@ -635,10 +635,18 @@ def hybrid_rrf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HYBRID_RRF_CHUNKS_SQL = f"""
+def _hybrid_rrf_chunks_sql() -> str:
+    from .embed import EMBED_DIM, fake_embed_ctes
+
+    dot_eq = (
+        f"list_sum(list_transform(range(1, {EMBED_DIM} + 1), "
+        "i -> emb[i]::double * qv[i]))"
+    )
+    n_emb = "sqrt(list_sum(list_transform(emb, x -> x::double * x::double)))"
+    n_q = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
+    return f"""
 with chunks as materialized ({CHUNK_SQL}),
 cdocs as (select id as doc_id, text from chunks),
-q as (select embedding as qv from embeddings where vec_id = {QUERY_VEC_ID}),
 ft as (
   select id,
          row_number() over (order by s desc, id asc) as rank
@@ -648,19 +656,17 @@ ft as (
     order by s desc, id asc limit {TOP_K * OVERFETCH}
   )
 ),
-doc_sims as (
-  select vec_id as doc_id,
-         round({_dot_sql('embedding', 'qv')}
-               / (sqrt({_dot_sql('embedding', 'embedding')})
-                  * sqrt({_dot_sql('qv', 'qv')})), 6) as s
-  from embeddings, q
-  where vec_id != {QUERY_VEC_ID}
-),
+{fake_embed_ctes('chunks', 'id', 'cemb').lstrip()},
+{fake_embed_ctes(
+    f"(select '{CHUNK_QUERY_TEXT}' as text, 1 as qid)", "qid", "qe", float32=False
+).lstrip()},
 vec as (
   select id,
          row_number() over (order by s desc, id asc) as rank
   from (
-    select c.id, d.s from chunks c join doc_sims d using (doc_id)
+    select c.id,
+           round({dot_eq} / ({n_emb} * {n_q}), 6) as s
+    from cemb c, (select emb as qv from qe)
     order by s desc, id asc limit {TOP_K * OVERFETCH}
   )
 ),
@@ -674,6 +680,9 @@ fused as (
 select c.id, c.doc_id, c.chunk_index, c.text, c.n_tokens, fused.rrf_score
 from chunks c join fused using (id)
 """
+
+
+HYBRID_RRF_CHUNKS_SQL = _hybrid_rrf_chunks_sql()
 
 QUERIES = {
     "fulltext_topk_cd": fulltext_topk_cd,
