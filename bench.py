@@ -41,10 +41,17 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_exact_substring",
+    "dedup_clusters",
     "knn_bruteforce",
-    "hybrid_rrf",
+    "knn_ivf_batch",
+    "fulltext_topk_bm25",
+    "hybrid_rrf_chunks",
     "text_quality",
+    "text_gopher_filters",
     "chunk_documents",
+    "decontaminate",
+    "training_subset_chunks",
     "pricing_summary",
     "revenue_by_nation",
     "latest_event_per_user",
