@@ -87,6 +87,25 @@ COMMENT = {
         "BroadcastExchange; the training side is a broadcast hash join — "
         "training shingles are never shuffled at any corpus size."
     ),
+    "paginate_docs": (
+        "Pagination (round-4 shape): orderBy().limit(offset+page) compiles "
+        "to TakeOrderedAndProject (distributed partial top-k); the "
+        "row_number window runs over those <= offset+page rows only — no "
+        "full-table single-partition sort."
+    ),
+    "knn_ivf_batch": (
+        "Batch ANN (round-4): the cell-partitioned IVF index is scanned "
+        "ONCE and joined via BroadcastHashJoin on cell against the tiny "
+        "(qid, cell, qv) build side; per-query top-k is WindowGroupLimit-"
+        "pruned map-side before the single qid Exchange. The only nested-"
+        "loop join is queries × (<= 8) broadcast centroids."
+    ),
+    "text_gopher_filters": (
+        "Gopher filters (round-4 shape): ONE documents scan, ONE tagged "
+        "(n, gram) Generate; per-doc scalars ride the gram-count groupBy "
+        "as constant max() aggregates and the two top-gram fractions pivot "
+        "out of one (doc_id, n) window."
+    ),
 }
 
 
@@ -135,6 +154,13 @@ def main() -> None:
     plans["fulltext_topk_bm25"] = fulltext_topk_bm25(spark, sf)
     plans["hybrid_rrf_chunks"] = hybrid_rrf_chunks(spark, sf)
     plans["decontaminate"] = decontaminate(spark, sf)
+    from docling_rag_spark.operators.retrieval import paginate_docs
+    from docling_rag_spark.operators.similarity import knn_ivf_batch
+    from docling_rag_spark.operators.textstats import gopher_quality
+
+    plans["paginate_docs"] = paginate_docs(spark, sf)
+    plans["knn_ivf_batch"] = knn_ivf_batch(spark, sf)
+    plans["text_gopher_filters"] = gopher_quality(spark, sf)
 
     out = ["# PLANS — physical plans of the flagship operators",
            "",
