@@ -66,15 +66,25 @@ def lang_hits_col(c: Column, lang: str) -> Column:
 
 def detect_language_col(c: Column) -> Column:
     """Most marker hits wins; ties → earlier language in LANG_MARKERS;
-    all-zero → 'en'."""
-    best = F.lit("en")
-    best_hits = F.lit(-1)
-    for lang, _ in LANG_MARKERS:
-        hits = lang_hits_col(c, lang)
-        cond = hits > best_hits
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_hits = F.when(cond, hits).otherwise(best_hits)
-    return F.when(best_hits > 0, best).otherwise(F.lit("en"))
+    all-zero → 'en'.
+
+    Shape: ONE struct per language, argmax via array_max (struct compare:
+    hits, then -index so the EARLIER language wins exact ties — identical
+    to the strict-greater fold this replaces). The naive when-chain fold
+    nested each accumulator twice per step, so early languages' marker
+    scans appeared 2^L times in the tree — HOF filters are interpreted
+    (no codegen CSE), which made every consumer pay the duplication
+    (measured ~10× on a 42k-row chunk table)."""
+    entries = [
+        F.struct(
+            lang_hits_col(c, lang).alias("hits"),
+            F.lit(-idx).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for idx, (lang, _) in enumerate(LANG_MARKERS)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en"))
 
 
 def shingles_col(c: Column, n: int = 3) -> Column:

@@ -121,12 +121,14 @@ DECON_EVAL_MOD = 50
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import shingles_col
+    # shingle_rows_from stages the token array BEFORE the gram lambda —
+    # inlining shingles_col(text) re-evaluates the regex tokenizer per
+    # slice element (measured 14× slower on the 13-gram path)
+    from .dedup import shingle_rows_from
 
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(shingles_col(F.col("text"), n=DECON_NGRAM)).alias("g"),
+    sh = shingle_rows_from(docs, "doc_id", n=DECON_NGRAM).withColumnRenamed(
+        "shingle", "g"
     )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     eval_grams = sh.filter(is_eval).select("g").distinct()
@@ -169,8 +171,11 @@ def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     - holdout: chunks of eval docs (doc_id % DECON_EVAL_MOD == 0) excluded;
     - quality: chunker token count floor + stopword-ratio floor;
     - language: predicted en only;
-    - near-dup: drop the lexicographically-higher chunk id of every strong
-      (>= STRONG_BANDS shared band signatures) MinHash-LSH pair;
+    - near-dup: keep-smallest-canonical MinHash-LSH — a chunk is dropped
+      iff any of its band buckets contains a smaller chunk id (O(n) bucket
+      minima, never the O(pairs) self-join: the synthetic corpus's
+      boilerplate-heavy chunks produce 12M pairs from 42k chunks at sf0.1,
+      exactly the blow-up a 100-TB run must not pay);
     - decontamination: drop any chunk sharing a word 13-gram with the
       holdout chunks (eval gram set broadcasts — no training-side shuffle).
 
@@ -178,26 +183,22 @@ def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale); dup/contaminated id sets are ~the removal rate of the
     corpus and broadcast into anti-joins; the only big shuffles are the two
     shingle groupBys already benchmarked in the dedup suite."""
-    from ..functions.text import shingles_col
-    from .dedup import band_sig_pairs, shingle_rows_from
+    from .dedup import lsh_bucket_dups, shingle_rows_from
     from .extraction_queries import extract_chunks_q
 
     chunks = extract_chunks_q(spark, sf_dir)
     is_eval = F.col("doc_id").cast("bigint") % DECON_EVAL_MOD == 0
-    dups = (
-        band_sig_pairs(shingle_rows_from(chunks, "id"), "id")
-        .filter(F.col("n_shared_bands") >= STRONG_BANDS)
-        .select(F.col("id_b").alias("id"))
+    dups = lsh_bucket_dups(shingle_rows_from(chunks, "id"), "id")
+    # eval/train gram rows via staged-token shingling (shingle_rows_from:
+    # inlined shingles_col re-runs the tokenizer per slice element, 14×)
+    eval_grams = (
+        shingle_rows_from(chunks.filter(is_eval), "id", n=DECON_NGRAM)
+        .select(F.col("shingle").alias("g"))
         .distinct()
     )
-    gsh = chunks.select(
-        "id",
-        is_eval.alias("is_eval"),
-        F.explode(shingles_col(F.col("text"), n=DECON_NGRAM)).alias("g"),
-    )
-    eval_grams = gsh.filter(F.col("is_eval")).select("g").distinct()
     contaminated = (
-        gsh.filter(~F.col("is_eval"))
+        shingle_rows_from(chunks.filter(~is_eval), "id", n=DECON_NGRAM)
+        .withColumnRenamed("shingle", "g")
         .join(F.broadcast(eval_grams), "g")
         .select("id")
         .distinct()
@@ -239,11 +240,9 @@ sigs as materialized (
   group by id, band
 ),
 dups as materialized (
-  select distinct id_b as id from (
-    select a.id as id_a, b.id as id_b, count(*) as nb
-    from sigs a join sigs b on a.band = b.band and a.sig = b.sig and a.id < b.id
-    group by a.id, b.id
-  ) where nb >= {STRONG_BANDS}
+  select distinct id from (
+    select id, min(id) over (partition by band, sig) as mid from sigs
+  ) where id > mid
 ),
 gsh as materialized (
   select id, doc_id::bigint % {DECON_EVAL_MOD} = 0 as is_eval,
