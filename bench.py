@@ -124,9 +124,17 @@ def main() -> None:
     # scan planning (measured 12.1s cold vs 1.1s warm for minhash at sf0.1
     # — pure JIT, not data work), which a long-running cluster pays once.
     # Report the warm run as the metric; keep the cold run alongside.
+    import gc
+
     cold: dict[str, float] = {}
     for name in HEADLINE:
         spark.catalog.clearCache()  # cold must not see the PREVIOUS query's caches
+        # drop python-side refs so the ContextCleaner releases the PREVIOUS
+        # queries' broadcasts/shuffles — without this, executor heap pressure
+        # accumulates over the 18-query run and inflates later warm reps
+        # (measured: decontaminate 1.5s isolated vs 4-20s late in the run)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
