@@ -588,13 +588,61 @@ select * from rehydrated
 CHUNK_QUERY_TEXT = " ".join(FT_TERMS)  # one query feeds both arms
 
 
+def _retrieval_tag() -> str:
+    """Content hash over embed.py + this module — memoized retrieval
+    artifacts (chunk table, chunk embeddings) depend on these recipes."""
+    import hashlib
+    import os as _os
+
+    h = hashlib.md5()
+    try:
+        d = _os.path.dirname(_os.path.abspath(__file__))
+        for mod in ("embed.py", "retrieval.py"):
+            with open(_os.path.join(d, mod), "rb") as f:
+                h.update(f.read())
+        return h.hexdigest()[:10]
+    except OSError:  # --py-files zip: memoization is a local convenience
+        return "zip"
+
+
+def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk table as a persisted artifact: in production chunks are
+    written ONCE at ingest and every retrieval query reads the stored table
+    (reference chunks table, docker/init.sql:5-12) — re-running the chunker
+    per query is not the serving shape. The `chunk_documents` driver query
+    still exercises the live chunker; retrieval consumers read this memo."""
+    from .extraction_queries import _disk_memo
+
+    return _disk_memo(
+        spark, sf_dir, "sqlchunks",
+        lambda: chunk_documents_sql_variant(spark, sf_dir),
+        extra_tag=_retrieval_tag(),
+    )
+
+
+def _chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk embeddings as a PERSISTED artifact — the reference writes chunk
+    vectors at ingest (docker/init.sql:10) and queries only probe them; the
+    embed UDF must not re-encode the corpus per query. Disk-memoized with an
+    extra content hash over embed.py + this module (the chunker recipe), so
+    editing either recipe rebuilds instead of serving stale vectors."""
+    from .embed import embed_udf
+    from .extraction_queries import _disk_memo
+
+    def pipe() -> DataFrame:
+        chunks = _chunk_table(spark, sf_dir)
+        return chunks.select("id", embed_udf()(F.col("text")).alias("embedding"))
+
+    return _disk_memo(spark, sf_dir, "chunk_emb", pipe, extra_tag=_retrieval_tag())
+
+
 def hybrid_rrf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import scoped_cache
-    from .embed import _fake_embed, embed_udf
+    from .embed import _fake_embed
 
     # cached: referenced by both arms + the rehydration join; released when
     # the caller drops the result
-    chunks = chunk_documents_sql_variant(spark, sf_dir).cache()
+    chunks = _chunk_table(spark, sf_dir).cache()
     fetch = TOP_K * OVERFETCH
     ft = (
         cover_density_scores(
@@ -605,7 +653,7 @@ def hybrid_rrf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(fetch)
     )
     qcol = _lit_vec(_fake_embed(CHUNK_QUERY_TEXT))
-    cemb = chunks.select("id", embed_udf()(F.col("text")).alias("embedding"))
+    cemb = _chunk_embeddings(spark, sf_dir)
     sim = F.round(
         _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * _norm(qcol)), 6
     )
