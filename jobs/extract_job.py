@@ -158,7 +158,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     stats = {r["status"]: r["count"] for r in n.groupBy("status").count().collect()}
-    print(f"extract_job done run_id={run_id} lineage={stats}")
+    # this-run count from the lineage that was just appended (cumulative
+    # totals alone can't show that a --resume run processed 0 new docs)
+    this_run = n.filter(F.col("run_id") == run_id).count()
+    print(
+        f"extract_job done run_id={run_id} docs_this_run={this_run} "
+        f"lineage_total={stats}"
+    )
     spark.stop()
 
 
