@@ -382,6 +382,48 @@ select doc_id, n_chars, rn from (
 """
 
 
+def paginate_docs_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the deep-offset story paginate_docs'
+    docstring points to: the client passes back the LAST ROW of the
+    previous page and the next page is a pure filter + TakeOrdered, with
+    NO offset cost at any depth (offset-N pre-limits still materialize
+    offset+page rows; a cursor page materializes page rows). The cursor
+    fetch here is itself a TakeOrdered of PAGE_SIZE rows — exactly the
+    page-1 request whose last row a real client already holds."""
+    docs = table(spark, sf_dir, "documents")
+    page1 = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(PAGE_SIZE)
+        .collect()
+    )
+    last = page1[-1]
+    after_cursor = (F.col("n_chars") < last["n_chars"]) | (
+        (F.col("n_chars") == last["n_chars"]) & (F.col("doc_id") > last["doc_id"])
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .filter(after_cursor)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(PAGE_SIZE)
+    )
+
+
+PAGINATE_KEYSET_SQL = f"""
+with cursor as (
+  select n_chars, doc_id from documents
+  order by n_chars desc, doc_id asc
+  limit 1 offset {PAGE_SIZE - 1}
+)
+select d.doc_id, d.n_chars
+from documents d, cursor c
+where d.n_chars < c.n_chars
+   or (d.n_chars = c.n_chars and d.doc_id > c.doc_id)
+order by d.n_chars desc, d.doc_id asc
+limit {PAGE_SIZE}
+"""
+
+
 # P5/P9/J6: predicate point lookups (ILIKE + id-range semi-join analogs,
 # reference src/storage/postgres.py:322-343,823-832)
 def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,10 +809,12 @@ ORACLES = {
 EXTRA_QUERIES = {
     "fulltext_topk": fulltext_topk,
     "hybrid_rrf": hybrid_rrf,
+    "paginate_docs_keyset": paginate_docs_keyset,
 }
 EXTRA_ORACLES = {
     "fulltext_topk": FULLTEXT_SQL,
     "hybrid_rrf": HYBRID_RRF_SQL,
+    "paginate_docs_keyset": PAGINATE_KEYSET_SQL,
 }
 
 

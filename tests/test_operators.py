@@ -446,3 +446,21 @@ def test_gopher_plan_two_branches_one_generate(spark):
     plan = _formatted_plan(gopher_quality(spark, SF))
     assert plan.count("Scan parquet") == 2
     assert plan.count("Generate") == 1  # one tagged explode
+
+
+def test_keyset_page_equals_offset_page(spark):
+    """Keyset (cursor) page 2 must return exactly the rows of the
+    offset-based paginate_docs page 2."""
+    from docling_rag_spark.operators.retrieval import (
+        paginate_docs,
+        paginate_docs_keyset,
+    )
+
+    off = {
+        (r["doc_id"], r["n_chars"]) for r in paginate_docs(spark, SF).collect()
+    }
+    key = {
+        (r["doc_id"], r["n_chars"])
+        for r in paginate_docs_keyset(spark, SF).collect()
+    }
+    assert key == off and len(key) > 0
