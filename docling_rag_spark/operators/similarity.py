@@ -457,13 +457,19 @@ def knn_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vectors a dedup/serving pipeline would look up this batch".
 BATCH_Q_MOD = 37
 BATCH_TOP_K = 5
+# nprobe=2 for the batch: across the 55-query batch, single-cell probing
+# averages only 0.32 recall@5 on this corpus (queries near cell boundaries
+# miss neighbors in the runner-up cell); two cells recover most of it at
+# ~2/K of the table scanned per query (tools/ann_recall.py → BENCH.md).
+BATCH_NPROBE = 2
 
 
 def knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query IVF top-k for a whole BATCH of query vectors in one plan:
-    queries ⋈ broadcast centroids → nearest cell per query (nprobe=1) →
+    queries ⋈ broadcast centroids → BATCH_NPROBE nearest cells per query →
     broadcast-join the tiny (qid, cell, qv) table against the cell-
-    partitioned index → score → per-query top-k window.
+    partitioned index → score → per-query top-k window. Cells partition the
+    index, so multi-cell candidates are disjoint — no dedup stage.
 
     Scale shape: the index side is scanned ONCE and only the probed cells'
     rows survive the broadcast hash join (on a real cluster the Iceberg
@@ -489,7 +495,7 @@ def knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cdf))  # ≤ IVF_CENTROIDS rows per query
         .withColumn("csim", csim)
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= BATCH_NPROBE)
         .select("qid", "qv", F.col("cid").alias("cell"))
     )
     sim = F.round(
@@ -653,7 +659,7 @@ qcell as materialized (
              partition by q.qid order by {csim} desc, c.cid asc
            ) as rn
     from q cross join {prev} c
-  ) where rn = 1
+  ) where rn <= {BATCH_NPROBE}
 ),
 scored as materialized (
   select qc.qid, a.vec_id, a.label,

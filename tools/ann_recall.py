@@ -92,6 +92,63 @@ def main() -> None:
         }
     assigned.unpersist()
 
+    # batch ANN (knn_ivf_batch): mean per-query recall@k vs per-query exact
+    # brute force (one plan: queries × table, per-query rank window)
+    from pyspark.sql import Window
+
+    qs = emb.filter(F.col("vec_id") % S.BATCH_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    sim = F.round(
+        S._dot(F.col("embedding"), F.col("qv"))
+        / (S._norm(F.col("embedding")) * S._norm(F.col("qv"))),
+        6,
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    exact_batch = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= S.BATCH_TOP_K)
+        .collect()
+    )
+    want: dict[int, set] = {}
+    for r in exact_batch:
+        want.setdefault(r["qid"], set()).add(r["vec_id"])
+    got_rows = S.knn_ivf_batch(spark, sf_dir).collect()
+    got_by_q: dict[int, set] = {}
+    for r in got_rows:
+        got_by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(got_by_q.get(qid, set()) & w) / S.BATCH_TOP_K
+        for qid, w in want.items()
+    ]
+    # exact scored fraction: each query scans its BATCH_NPROBE top cells
+    qvecs = {r["qid"]: [float(x) for x in r["qv"]] for r in qs.collect()}
+    per_q_scored = []
+    for qid, qv in qvecs.items():
+        ranked = [
+            cid
+            for cid, _ in sorted(
+                ((cid, S._py_cos(qv, v)) for cid, v in cents.items()),
+                key=lambda t: (-t[1], t[0]),
+            )
+        ]
+        per_q_scored.append(
+            sum(cell_sizes.get(c, 0) for c in ranked[: S.BATCH_NPROBE])
+        )
+    results[f"ivf_batch_nprobe{S.BATCH_NPROBE}"] = {
+        "n_queries": len(want),
+        "mean_recall_at_k": round(sum(recalls) / len(recalls), 4),
+        "min_recall_at_k": round(min(recalls), 4),
+        "scored_frac": round(
+            sum(per_q_scored) / len(per_q_scored) / n, 4
+        ),
+    }
+
     print(json.dumps({"sf_dir": sf_dir, "n_vectors": n, "k": k,
                       "variants": results}, indent=1))
     spark.stop()
