@@ -21,11 +21,6 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-try:  # pyspark >= 3.4 canonical location
-    from pyspark.errors import AnalysisException as _AnalysisException
-except ImportError:  # pragma: no cover
-    from pyspark.sql.utils import AnalysisException as _AnalysisException
-
 from .common import table
 
 TOP_K = 10
@@ -368,16 +363,14 @@ def _py_cos(a: list, b: list) -> float:
     return dot / (na**0.5 * nb**0.5)
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, list]]:
-    """The trained IVF index as a PERSISTED artifact — (assigned table,
-    centroids). Training (seed sample + Lloyd rounds) is a one-time heavy
-    build exactly like the reference's HNSW index build (docker/init.sql:20);
-    queries must only PROBE it. Disk-memoized per sf keyed on this module's
-    content hash, so changing any IVF constant or recipe invalidates the
-    index automatically; in production this is the Iceberg table
-    ``PARTITIONED BY (cell)`` plus a tiny centroids table."""
+def _ivf_artifact_dir(sf_dir: str) -> str:
+    """Path of the persisted IVF index for ``sf_dir``: keyed on this
+    module's content hash (any IVF constant/recipe edit invalidates) and
+    the source-parquet fingerprint (regenerated data invalidates)."""
     import hashlib
     import os
+
+    from .extraction_queries import source_fingerprint
 
     cache_root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -388,34 +381,52 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, l
             tag = hashlib.md5(f.read()).hexdigest()[:10]
     except OSError:
         tag = "zip"
-    from .extraction_queries import source_fingerprint
-
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(
+    return os.path.join(
         cache_root, f"ivf_{tag}_{sf_tag}_{source_fingerprint(sf_dir)}"
     )
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, list]]:
+    """The trained IVF index as a PERSISTED artifact — (assigned table,
+    centroids). Training (seed sample + Lloyd rounds) is a one-time heavy
+    build exactly like the reference's HNSW index build (docker/init.sql:20);
+    queries must only PROBE it. Disk-memoized per sf keyed on this module's
+    content hash, so changing any IVF constant or recipe invalidates the
+    index automatically; in production this is the Iceberg table
+    ``PARTITIONED BY (cell)`` plus a tiny centroids table."""
+    import os
+
+    out = _ivf_artifact_dir(sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     a_path, c_path = os.path.join(out, "assigned"), os.path.join(out, "centroids")
+    # Pre-flight the ONLY legitimate fallback (read-only repo dir /
+    # --py-files zip deployment: the cache root is not a writable
+    # directory). Past this point nothing is caught: a corrupt persisted
+    # artifact must fail LOUD, never silently retrain in-session — that
+    # would mask index corruption as a perf blip (round-4 verdict #7,
+    # regression-tested: tests/test_operators.py corrupt-artifact test).
     try:
-        if not os.path.exists(os.path.join(c_path, "_SUCCESS")):
-            cents = _train_centroids(spark, emb)
-            assigned = _assign_cells(emb, _centroids_df(spark, cents))
-            assigned.write.mode("overwrite").parquet(a_path)
-            _centroids_df(spark, cents).write.mode("overwrite").parquet(c_path)
-        cents = {
-            int(r["cid"]): [float(x) for x in r["cvec"]]
-            for r in spark.read.parquet(c_path).collect()
-        }
-        return spark.read.parquet(a_path), cents
-    except (OSError, _AnalysisException) as e:
-        # read-only repo dir / zip deployment ONLY: train in-session. Any
-        # other failure (corrupt artifact, schema drift) must fail LOUD —
-        # a broad fallback would mask index corruption as a perf blip.
+        os.makedirs(out, exist_ok=True)
+        writable = os.access(out, os.W_OK)
+    except OSError:
+        writable = False
+    if not writable:
         import warnings
 
-        warnings.warn(f"IVF index not persistable ({e!r}); training in-session")
+        warnings.warn(f"IVF index root {out!r} not writable; training in-session")
         cents = _train_centroids(spark, emb)
         return _assign_cells(emb, _centroids_df(spark, cents)), cents
+    if not os.path.exists(os.path.join(c_path, "_SUCCESS")):
+        cents = _train_centroids(spark, emb)
+        assigned = _assign_cells(emb, _centroids_df(spark, cents))
+        assigned.write.mode("overwrite").parquet(a_path)
+        _centroids_df(spark, cents).write.mode("overwrite").parquet(c_path)
+    cents = {
+        int(r["cid"]): [float(x) for x in r["cvec"]]
+        for r in spark.read.parquet(c_path).collect()
+    }
+    return spark.read.parquet(a_path), cents
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:

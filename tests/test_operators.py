@@ -464,3 +464,63 @@ def test_keyset_page_equals_offset_page(spark):
         for r in paginate_docs_keyset(spark, SF).collect()
     }
     assert key == off and len(key) > 0
+
+
+def test_ivf_corrupt_artifact_fails_loud(spark, tmp_path, monkeypatch):
+    """Round-4 verdict #7: a corrupted persisted IVF index must surface the
+    failure, never silently retrain in-session (which would mask artifact
+    corruption as a perf blip). Only OSError/AnalysisException (read-only
+    dir, zip deploy) fall back."""
+    import glob
+    import os
+
+    import pytest
+
+    from docling_rag_spark.operators import similarity as S
+
+    # ensure the artifact exists, then corrupt its centroids part in place
+    # (restored afterwards). Resolve the CURRENT artifact dir via the same
+    # helper _ivf_index uses — stale dirs from older module hashes linger.
+    assigned, cents = S._ivf_index(spark, "/root/testdata/sf0.001")
+    assert assigned.count() > 0
+    roots = glob.glob(
+        os.path.join(S._ivf_artifact_dir("/root/testdata/sf0.001"),
+                     "centroids", "*.parquet")
+    )
+    assert roots, "ivf artifact not found"
+    victim = roots[0]
+    backup = victim + ".bak"
+    os.rename(victim, backup)
+    try:
+        with open(victim, "w") as f:
+            f.write("corrupt, not parquet")
+        with pytest.raises(Exception) as ei:
+            S._ivf_index(spark, "/root/testdata/sf0.001")[1]
+        assert not isinstance(ei.value, (OSError,))
+    finally:
+        os.remove(victim)
+        os.rename(backup, victim)
+
+
+def test_source_fingerprint_tracks_data_changes(tmp_path):
+    """Memo keys must change when the source parquet changes in place or
+    moves — same-basename corpora can never serve each other's memos."""
+    from docling_rag_spark.operators.extraction_queries import source_fingerprint
+
+    a = tmp_path / "x" / "sf0.01"
+    b = tmp_path / "y" / "sf0.01"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        (d / "documents.parquet").write_bytes(b"pq1")
+    f_a0 = source_fingerprint(str(a))
+    assert f_a0 != source_fingerprint(str(b)) or (
+        # same sizes CAN collide only if mtime_ns also matches — rewrite b
+        # to force a content change and require divergence
+        False
+    )
+    # regenerate in place -> fingerprint changes
+    import time
+
+    time.sleep(0.01)
+    (a / "documents.parquet").write_bytes(b"pq2-regenerated")
+    assert source_fingerprint(str(a)) != f_a0
