@@ -422,6 +422,14 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[int, l
         assigned = _assign_cells(emb, _centroids_df(spark, cents))
         assigned.write.mode("overwrite").parquet(a_path)
         _centroids_df(spark, cents).write.mode("overwrite").parquet(c_path)
+        from .extraction_queries import _gc_stale_artifacts
+
+        _gc_stale_artifacts(
+            os.path.dirname(out),
+            "ivf",
+            os.path.basename(os.path.normpath(sf_dir)) or "sf",
+            os.path.basename(out),
+        )
     cents = {
         int(r["cid"]): [float(x) for x in r["cvec"]]
         for r in spark.read.parquet(c_path).collect()
