@@ -97,13 +97,14 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, str | None]]:
         n = len(text)
         good = not block_boiler and (lc / n) <= LINK_DENSITY_MAX
         if good:
-            toks = text.split(" ")
-            sw = sum(1 for w in toks if w.lower() in EN_STOPWORDS)
-            good = (
-                (is_head and n >= 3)
-                or n >= MIN_GOOD_CHARS
-                or (n >= STOPWORD_MIN_CHARS and sw / len(toks) >= STOPWORD_DENSITY_MIN)
-            )
+            # length/heading rules first — the stopword-density scan (split
+            # + per-token lookup) only runs for blocks the cheap rules
+            # don't already keep (identical decision, most blocks skip it)
+            good = (is_head and n >= 3) or n >= MIN_GOOD_CHARS
+            if not good and n >= STOPWORD_MIN_CHARS:
+                toks = text.split(" ")
+                sw = sum(1 for w in toks if w.lower() in EN_STOPWORDS)
+                good = sw / len(toks) >= STOPWORD_DENSITY_MIN
         if good:
             blocks.append(("heading" if is_head else "text", text, None))
         block_boiler = boiler_depth > 0
