@@ -115,15 +115,20 @@ def lsh_bucket_dups(sh: DataFrame, id_col: str) -> DataFrame:
     ``{id_col}`` of drop-candidates.
 
     This is the O(n) scale shape: on a boilerplate-heavy corpus a hot
-    bucket of b members costs b window rows here versus b²/2 join rows for
-    the pair form (measured 12.0M pairs from 42k synthetic chunks — the
-    pair rule melts exactly where dedup matters most)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "sig")
+    bucket of b members costs b rows here versus b²/2 join rows for the
+    pair form (measured 12.0M pairs from 42k synthetic chunks — the pair
+    rule melts exactly where dedup matters most). Shape note: groupBy-min
+    + equi-join rather than a min-over window — the per-bucket min gets
+    map-side partial aggregation AND the join is AQE-skew-splittable,
+    while a window would sort every row of a mega-bucket in ONE task.
+    ``sigs`` feeds both join sides, so its linear shingle+min-agg pass runs
+    twice per action — deliberate: at corpus scale recomputing a linear
+    pass beats materializing an n-row signature table, and the probe side
+    arrives already hash-partitioned on (band, sig) from the agg."""
+    sigs = band_sigs(sh, id_col)
+    mins = sigs.groupBy("band", "sig").agg(F.min(id_col).alias("mid"))
     return (
-        band_sigs(sh, id_col)
-        .withColumn("mid", F.min(id_col).over(w))
+        sigs.join(mins, ["band", "sig"])
         .filter(F.col(id_col) > F.col("mid"))
         .select(id_col)
         .distinct()
