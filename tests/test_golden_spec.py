@@ -149,3 +149,50 @@ def test_tidy_single_pass_equals_reference_two_pass(s):
     cr = _re.sub(r"[\r\n]+|<!-- image -->", " ", s)
     expect = _re.sub(r"\s+", " ", cr, flags=_re.ASCII).strip()
     assert tidy(s) == expect
+
+
+# round 4: random unicode rarely forms TAGS — this strategy interleaves
+# real tag tokens (incl. unclosed/misnested/boilerplate/table/anchor/img)
+# with text, driving the parser through its state machine far harder
+_TAG_SOUP = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div>", "</div>", "<h2>", "</h2>", "<li>",
+                "<table>", "</table>", "<td>", "</td>", "<tr>", "</tr>",
+                "<nav>", "</nav>", "<script>", "</script>", "<a href='x'>",
+                "</a>", "<img src=pic.png>", "<img>", "<br>", "<TABLE>",
+                "</NAV>", "<a>", "<h6>", "</h6>", "<aside>", "</aside>",
+            ]
+        ),
+        st.text(alphabet="ab &<>/\"' .", min_size=1, max_size=12),
+        st.sampled_from(["&amp;", "&lt;", "&nbsp;", "the of and"]),
+    ),
+    max_size=40,
+).map("".join)
+
+
+@given(_TAG_SOUP)
+@settings(max_examples=300, deadline=None)
+def test_html_extractor_total_on_tag_soup(s):
+    """Arbitrarily misnested/unclosed markup: never raises, output kinds
+    valid, text tidied, image refs only on image blocks, deterministic."""
+    out = extract_html_blocks(s)
+    assert out == extract_html_blocks(s)
+    for kind, text, ref in out:
+        assert kind in ("heading", "text", "table", "image")
+        assert text == tidy(text)
+        if ref is not None:
+            assert kind == "image"
+        if kind == "image":
+            assert text == ""
+
+
+@given(_TAG_SOUP)
+@settings(max_examples=100, deadline=None)
+def test_extract_span_html_total_on_tag_soup(s):
+    """Full span dispatch on tag soup: valid block tuples, no exception —
+    at 10^12 docs malformed markup must extract-or-dead-letter, not crash."""
+    for k, t, r, p in extract_span("html", s, None):
+        assert k in ("heading", "text", "table", "image")
+        assert p is None
