@@ -176,15 +176,37 @@ def fulltext_topk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl = sorted({t.lower() for t in FT_TERMS})
     toks = tokens_col(F.col("text"), lower=True)
 
-    def tf_expr(term: str):
-        # NB: the HOF lambda must have arity 1 — a second parameter would
-        # make F.filter pass the ELEMENT INDEX into it
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+    # ONE token-array traversal folds dl + every per-term tf into a struct
+    # (round 4): K separate F.filter exprs each inline the tokenizer — K+1
+    # tokenizations per row (HOFs are interpreted, no CSE). The struct stays
+    # UNEXPANDED until after the cache barrier below: expanding fields in
+    # the same projection would let CollapseProject inline the whole fold
+    # once per field.
+    def step(acc, x):
+        fields = [
+            (acc[f"tf_{i}"] + F.when(x == F.lit(t), 1).otherwise(0)).alias(
+                f"tf_{i}"
+            )
+            for i, t in enumerate(tl)
+        ]
+        fields.append((acc["dl"] + 1).alias("dl"))
+        return F.struct(*fields)
 
-    per_doc = docs.select(
+    acc0 = F.struct(
+        *[F.lit(0).alias(f"tf_{i}") for i in range(len(tl))],
+        F.lit(0).alias("dl"),
+    )
+    # cached: per-doc row is (doc_id, K+1 ints) — tiny at any corpus size —
+    # and it feeds BOTH the stats aggregate and the scoring scan; without
+    # the cache the tokenize+fold subtree runs twice. Released when the
+    # caller drops the returned frame (scoped_cache).
+    folded = docs.select(
+        "doc_id", F.aggregate(toks, acc0, step).alias("a")
+    ).cache()
+    per_doc = folded.select(
         "doc_id",
-        F.size(toks).alias("dl"),
-        *[tf_expr(t).alias(f"tf_{i}") for i, t in enumerate(tl)],
+        F.col("a.dl").alias("dl"),
+        *[F.col(f"a.tf_{i}").alias(f"tf_{i}") for i in range(len(tl))],
     )
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
@@ -216,12 +238,15 @@ def fulltext_topk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(tl)):
         h = F.col(f"tf_{i}")
         n_hits = h if n_hits is None else n_hits + h
-    return (
+    from .common import scoped_cache
+
+    return scoped_cache(
         per_doc.crossJoin(F.broadcast(stats))
         .filter(n_hits > 0)
         .select("doc_id", F.round(score.cast("double"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(TOP_K)
+        .limit(TOP_K),
+        folded,
     )
 
 
