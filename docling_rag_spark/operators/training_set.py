@@ -282,3 +282,62 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "decontaminate": DECONTAMINATE_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Rate-based domain-mixture sampling (round 4, extended registry): the
+# shuffle-FREE complement of the quota-based stratified_sample — per-source
+# keep RATES (a DoReMi/Pile-style domain-weighted training mix) applied as
+# a pure filter: keep doc iff u(doc) < rate(source), with u and rate both
+# md5-derived (no RNG state, identical on every run/engine). At 100 TB this
+# is a full-scan filter with NO exchange anywhere (plan-asserted) — the
+# quota variant costs a per-stratum shuffle, this costs none.
+# --------------------------------------------------------------------------
+MIX_SEED = "mix-rate-v1"
+
+
+def _hex_bigint_col(c, n: int):
+    return F.conv(F.substring(F.md5(c), 1, n), 16, 10).cast("bigint")
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # per-source rate in [0.05, 0.9495): deterministic stand-in for a
+    # configured weights table (which would broadcast-join identically)
+    rate = (
+        (_hex_bigint_col(
+            F.concat_ws("|", F.lit(MIX_SEED), F.col("source")), 4
+        ) % 1000)
+        / F.lit(1000.0) * F.lit(0.9) + F.lit(0.05)
+    )
+    u = _hex_bigint_col(
+        F.concat_ws("|", F.lit(MIX_SEED), F.lit("doc"), F.col("doc_id")), 8
+    ) / F.lit(4294967295.0)
+    return (
+        docs.select(
+            "doc_id", "source", "lang", F.round(rate, 6).alias("keep_rate")
+        )
+        .filter(u < rate)
+    )
+
+
+def _mixture_sample_sql() -> str:
+    from .common import hexn_to_bigint_sql
+
+    rate_h = hexn_to_bigint_sql(f"md5('{MIX_SEED}' || '|' || source)", 4)
+    u_h = hexn_to_bigint_sql(
+        f"md5('{MIX_SEED}' || '|' || 'doc' || '|' || doc_id::varchar)", 8
+    )
+    return f"""
+select doc_id, source, lang,
+       round(({rate_h} % 1000) / 1000.0 * 0.9 + 0.05, 6) as keep_rate
+from documents
+where {u_h} / 4294967295.0
+      < ({rate_h} % 1000) / 1000.0 * 0.9 + 0.05
+"""
+
+
+MIXTURE_SAMPLE_SQL = _mixture_sample_sql()
+
+EXTRA_QUERIES = {"mixture_sample": mixture_sample}
+EXTRA_ORACLES = {"mixture_sample": MIXTURE_SAMPLE_SQL}

@@ -524,3 +524,13 @@ def test_source_fingerprint_tracks_data_changes(tmp_path):
     time.sleep(0.01)
     (a / "documents.parquet").write_bytes(b"pq2-regenerated")
     assert source_fingerprint(str(a)) != f_a0
+
+
+def test_mixture_sample_plan_no_exchange(spark):
+    """Rate-based domain mixture is a pure filter: NO exchange of any kind
+    in the plan (the quota-based stratified_sample pays a per-stratum
+    shuffle; this is its shuffle-free complement)."""
+    from docling_rag_spark.operators.training_set import mixture_sample
+
+    plan = _formatted_plan(mixture_sample(spark, SF))
+    assert "Exchange" not in plan
