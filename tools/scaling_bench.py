@@ -135,15 +135,29 @@ def main() -> None:
     n_docs = results[0]["lo"]["n_docs"]
     n_spans = results[0]["lo"]["n_spans"]
     bench_md = REPO / "BENCH.md"
-    # preserve every manually-maintained section at/after the first
-    # non-scaling "## " heading (methodology, skew, recall, arrow tables) —
-    # only the scaling evidence block at the top is regenerated
+    # preserve EVERYTHING after the "Reproduce:" line the template itself
+    # emits (run ledgers, headline bench, methodology, skew, recall, arrow
+    # tables) — only the scaling header+table is regenerated. Also carry
+    # over old table rows for pairs this run did not re-measure (the old
+    # anchor lost round 4's 4→16 row and its whole headline section).
     preserved = ""
     if bench_md.exists():
+        import re as _re
+
         old = bench_md.read_text()
-        idx = old.find("## What made it scale")
-        if idx != -1:
-            preserved = old[idx:]
+        pos = old.find("Reproduce: `python tools/scaling_bench.py")
+        if pos != -1:
+            nl = old.find("\n", pos)
+            preserved = old[nl + 1:].lstrip("\n")
+        measured = {f"| {r['pair'][0]} |" for r in results}
+        for line in old.splitlines():
+            if (
+                _re.match(r"^\| \d+ \|", line)
+                and line.count("|") >= 11
+                and not any(line.startswith(m) for m in measured)
+            ):
+                rows.append(line)
+        table = "\n".join(rows)
     bench_md.write_text(f"""# BENCH — scaling evidence (north rule N→4N)
 
 Same extraction job (`run_extraction`, narrow zero-shuffle mode, over the
@@ -162,14 +176,14 @@ Efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4; criterion ≥ 0.8
 \\* host CPU ceiling: a Spark-free multiprocessing busy-loop run at the
 same two process counts right before each pair — this virtualized host
 reduces per-core throughput as more cores go active (and adds noise when
-most cores are busy), so the ceiling is what a PERFECT job could score on
+most cores are busy), so the ceiling is what a PURE-CPU job could score on
 this box. The 4→16 pair sits in the host's linear range and is the
-headline: walls are stable run-to-run and the criterion is evidenced
-directly. The 8→32 pair is reported for completeness — its ceiling is
-already below 0.82 and its 32-core walls fluctuate ±50% run-to-run on this
-virtualized host (same job, same JVM), so it measures host contention, not
-the engine. On a real N→4N *executor* scale-out each executor keeps its own
-clock, making the linear-range pair the faithful analog.
+criterion headline; the 8→32 pair is silicon-capped (ceiling ~0.77-0.88)
+and host-mood-sensitive — in clean windows the extraction job has scored
+ABOVE its own busy-loop ceiling there (I/O+CPU interleaving schedules
+better than a busy-loop), in noisy ones far below. On a real N→4N
+*executor* scale-out each executor keeps its own clock, making the
+linear-range pair the faithful analog.
 
 Reproduce: `python tools/scaling_bench.py {sf_dir} {mult} [N 4N]`
 
