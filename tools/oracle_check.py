@@ -56,6 +56,12 @@ def main() -> int:
     if include_extra or (only and only - set(qs)):
         qs = {**qs, **e.extended_queries()}
         oracles = {**oracles, **e.extended_oracle_sql()}
+    if only:
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
