@@ -102,3 +102,76 @@ ORACLES = {
     "visible_documents": VISIBLE_SQL,
     "union_dedup_docs": UNION_DEDUP_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# J4/J5 (round 4, extended registry): ancestor-path prefix join — the
+# reference rebuilds folder-level permissions by matching each chunk's
+# file_path against permission PREFIXES (`chunks.file_path = pp.path OR
+# file_path LIKE pp.path || '/%'`, cli/cli.py:475-483; ancestor expansion
+# + = ANY(ancestors), src/storage/postgres.py:681-704). A LIKE-prefix
+# theta join is a nested loop at any scale; the Spark-first rewrite
+# EXPLODES each path's ancestor prefixes (a path of depth d has d of them
+# — tiny) and equi-joins on the prefix, turning O(paths × perms) into one
+# hash join. Paths and the permission-prefix table are derived
+# deterministically from the documents view so the DuckDB oracle sees
+# identical inputs: path = source/lang/doc_id; perms grant 'all' on every
+# source root and 'en-only' on every source/en folder.
+# --------------------------------------------------------------------------
+def ancestor_prefix_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    path_parts = F.array(
+        F.col("source"), F.col("lang"), F.col("doc_id").cast("string")
+    )
+    # every proper ancestor prefix of the path (depth-1 and depth-2 here)
+
+    def prefix(i):
+        return F.array_join(F.slice(path_parts, 1, i), "/")
+
+    ancestors = F.array(prefix(1), prefix(2))
+    exploded = docs.select(
+        "doc_id", F.explode(ancestors).alias("prefix")
+    )
+    perms = (
+        docs.select(F.col("source").alias("prefix"), F.lit("all").alias("grant"))
+        .distinct()
+        .unionByName(
+            docs.filter(F.col("lang") == "en")
+            .select(
+                F.concat_ws("/", "source", "lang").alias("prefix"),
+                F.lit("en-only").alias("grant"),
+            )
+            .distinct()
+        )
+    )
+    return (
+        exploded.join(F.broadcast(perms), "prefix")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grants"),
+            F.min("grant").alias("first_grant"),
+        )
+    )
+
+
+ANCESTOR_GRANTS_SQL = """
+with paths as (
+  select doc_id, [source, lang, doc_id::varchar] as parts from documents
+),
+anc as (
+  select doc_id, array_to_string(parts[1:i], '/') as prefix
+  from paths, unnest(range(1, 3)) as t(i)
+),
+perms as (
+  select distinct source as prefix, 'all' as g from documents
+  union all
+  select distinct source || '/' || lang as prefix, 'en-only' as g
+  from documents where lang = 'en'
+)
+select doc_id, count(*) as n_grants, min(g) as first_grant
+from anc join perms using (prefix)
+group by doc_id
+"""
+
+EXTRA_QUERIES = {"ancestor_prefix_grants": ancestor_prefix_grants}
+EXTRA_ORACLES = {"ancestor_prefix_grants": ANCESTOR_GRANTS_SQL}

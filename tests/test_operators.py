@@ -534,3 +534,14 @@ def test_mixture_sample_plan_no_exchange(spark):
 
     plan = _formatted_plan(mixture_sample(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_ancestor_prefix_join_is_equi_join(spark):
+    """J4/J5 shape: the LIKE-prefix theta join is rewritten as ancestor
+    explode + broadcast equi-join — no nested-loop/cartesian anywhere."""
+    from docling_rag_spark.operators.visibility import ancestor_prefix_grants
+
+    plan = _formatted_plan(ancestor_prefix_grants(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
