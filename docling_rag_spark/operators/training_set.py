@@ -5,7 +5,10 @@ One declarative plan chaining the training-data operators: quality gates
 removal (drop every doc that is the higher id in a strong MinHash-LSH
 candidate pair — keep-first-canonical, the standard crawl-dedup rule).
 At 100 TB each stage is the already-benchmarked operator; composition adds
-one anti-join (broadcast-able: the drop-set is ~the dup rate × corpus).
+anti-joins whose build sides (drop-set, contaminated-set, eval grams) are
+corpus-proportional — so NOTHING in this module forces F.broadcast():
+AQE broadcasts what it measures small at runtime and shuffles the rest
+(a hard-coded hint on a linearly-growing side is a driver OOM at scale).
 """
 
 from __future__ import annotations
@@ -110,11 +113,14 @@ select doc_id, lang, source, rk from (
 # Benchmark decontamination (GPT-3 appendix C / PaLM style): flag every
 # training document sharing at least one word 13-gram with the held-out
 # eval set. The eval set here is a deterministic slice of the corpus
-# (doc_id % DECON_EVAL_MOD == 0 — in production, the benchmark table);
-# its distinct 13-gram set is tiny relative to the corpus and BROADCASTS,
-# so the scan-side plan is a broadcast semi-join with payload: no shuffle
-# of training shingles at any corpus size. Output: contaminated docs with
-# their shared-gram counts (the audit artifact a removal step consumes).
+# (doc_id % DECON_EVAL_MOD == 0 — in production, the benchmark table).
+# The eval-gram side carries NO forced broadcast hint: here it is a fixed
+# fraction of the corpus, so it grows linearly with corpus size and a
+# hard-coded F.broadcast() would OOM the driver at 100 TB where a plain
+# shuffle join is fine. AQE decides at runtime — when the eval set is a
+# real fixed benchmark (tiny), it broadcasts; when it is
+# corpus-proportional, it shuffles. Output: contaminated docs with their
+# shared-gram counts (the audit artifact a removal step consumes).
 # --------------------------------------------------------------------------
 DECON_NGRAM = 13
 DECON_EVAL_MOD = 50
@@ -133,8 +139,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     eval_grams = sh.filter(is_eval).select("g").distinct()
     train = sh.filter(~is_eval)
+    # no F.broadcast() on eval_grams: unbounded side (see module comment);
+    # AQE converts to broadcast at runtime when it measures small
     return (
-        train.join(F.broadcast(eval_grams), "g")
+        train.join(eval_grams, "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_grams"))
     )
@@ -177,12 +185,17 @@ def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       boilerplate-heavy chunks produce 12M pairs from 42k chunks at sf0.1,
       exactly the blow-up a 100-TB run must not pay);
     - decontamination: drop any chunk sharing a word 13-gram with the
-      holdout chunks (eval gram set broadcasts — no training-side shuffle).
+      holdout chunks.
 
     Scale shape: the chunk table is the extraction output (Iceberg at
-    production scale); dup/contaminated id sets are ~the removal rate of the
-    corpus and broadcast into anti-joins; the only big shuffles are the two
-    shingle groupBys already benchmarked in the dedup suite."""
+    production scale); the dup-set, contaminated-set, and eval-gram sides
+    all grow LINEARLY with the corpus (removal rate × corpus / the 1/50
+    holdout slice), so none of them carries a forced F.broadcast() hint —
+    a hard-coded hint OOMs the driver at 100 TB on a multi-percent dup
+    rate, while AQE broadcasts exactly the sides it measures small at
+    runtime (at sandbox scale: all of them, plan-asserted in
+    tests/test_operators.py). The only big shuffles are the two shingle
+    groupBys already benchmarked in the dedup suite."""
     from .dedup import lsh_bucket_dups, shingle_rows_from
     from .extraction_queries import extract_chunks_q
 
@@ -199,7 +212,7 @@ def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         shingle_rows_from(chunks.filter(~is_eval), "id", n=DECON_NGRAM)
         .withColumnRenamed("shingle", "g")
-        .join(F.broadcast(eval_grams), "g")
+        .join(eval_grams, "g")
         .select("id")
         .distinct()
     )
@@ -216,8 +229,10 @@ def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
         & (F.col("pred_lang") == "en")
     )
-    return kept.join(F.broadcast(dups), "id", "left_anti").join(
-        F.broadcast(contaminated), "id", "left_anti"
+    # anti-join sides unhinted (corpus-proportional — see docstring): AQE
+    # picks broadcast at runtime while they are actually small
+    return kept.join(dups, "id", "left_anti").join(
+        contaminated, "id", "left_anti"
     )
 
 
