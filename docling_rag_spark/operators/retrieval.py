@@ -414,7 +414,10 @@ def paginate_docs_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO offset cost at any depth (offset-N pre-limits still materialize
     offset+page rows; a cursor page materializes page rows). The cursor
     fetch here is itself a TakeOrdered of PAGE_SIZE rows — exactly the
-    page-1 request whose last row a real client already holds."""
+    page-1 request whose last row a real client already holds; it runs
+    EAGERLY at DataFrame-construction time (deliberate: the cursor row is
+    a client-held scalar, not a plan node — a registry caller pays one
+    tiny TakeOrdered job up front)."""
     docs = table(spark, sf_dir, "documents")
     page1 = (
         docs.select("doc_id", "n_chars")
@@ -422,6 +425,10 @@ def paginate_docs_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PAGE_SIZE)
         .collect()
     )
+    if not page1:
+        # empty table → empty page 2 (match the oracle's empty set, not
+        # an IndexError on the missing cursor row)
+        return docs.select("doc_id", "n_chars").filter(F.lit(False))
     last = page1[-1]
     after_cursor = (F.col("n_chars") < last["n_chars"]) | (
         (F.col("n_chars") == last["n_chars"]) & (F.col("doc_id") > last["doc_id"])

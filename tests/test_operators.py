@@ -473,6 +473,32 @@ def test_knn_ivf_batch_plan_no_full_table_crossjoin(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_knn_ivf_batch_broadcast_gated_on_batch_size(spark):
+    """Round-5 (verdict #7): the probe-table broadcast is size-gated — a
+    corpus-sized query batch must NOT inherit the forced hint (driver OOM
+    at scale). With the gate forced to 0 the static plan joins the index
+    on cell WITHOUT a forced broadcast (AQE may still convert at runtime —
+    that is its call, not a hard-coded hint), and the result is unchanged."""
+    from docling_rag_spark.operators.similarity import knn_ivf_batch
+
+    hinted = knn_ivf_batch(spark, SF)
+    gated = knn_ivf_batch(spark, SF, broadcast_max_queries=0)
+    # forced hints surface as strategy=broadcast in the optimized logical
+    # plan: the serving-batch regime carries TWO (centroids + probe table),
+    # past the gate only the bounded centroid one remains — the planner/AQE
+    # may still broadcast from measured stats, but nothing FORCES it
+    def n_hints(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return s.count("strategy=broadcast")
+
+    assert n_hints(hinted) == 2
+    assert n_hints(gated) == 1
+    assert "CartesianProduct" not in _formatted_plan(gated)
+    a = sorted(map(tuple, hinted.collect()))
+    b = sorted(map(tuple, gated.collect()))
+    assert a == b
+
+
 def test_gopher_plan_two_branches_one_generate(spark):
     """Round-4 shape (verdict #4): gopher filters = one scalar-stats branch
     + ONE tagged (n, gram) explode covering both gram sizes (was three
@@ -502,6 +528,20 @@ def test_keyset_page_equals_offset_page(spark):
         for r in paginate_docs_keyset(spark, SF).collect()
     }
     assert key == off and len(key) > 0
+
+
+def test_keyset_pagination_empty_table_returns_empty(spark, tmp_path):
+    """Round-5 (advice): an empty documents table must yield an empty
+    cursor page (the oracle's behavior), not IndexError on the missing
+    page-1 last row."""
+    from docling_rag_spark.operators.retrieval import paginate_docs_keyset
+
+    spark.createDataFrame([], "doc_id long, n_chars int").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = paginate_docs_keyset(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_chars"]
 
 
 def test_ivf_corrupt_artifact_fails_loud(spark, tmp_path, monkeypatch):
@@ -538,6 +578,102 @@ def test_ivf_corrupt_artifact_fails_loud(spark, tmp_path, monkeypatch):
     finally:
         os.remove(victim)
         os.rename(backup, victim)
+
+
+def test_ivf_readonly_valid_artifact_is_served_not_retrained(spark, monkeypatch):
+    """Round-5 (advice): a read-only deployment that SHIPS a valid
+    pre-built IVF artifact must read it — the writability pre-flight only
+    applies when a build is actually needed. Regression: the round-4
+    pre-flight ran before the existence check, so a read-only dir with a
+    valid index silently retrained per session. Simulated by making every
+    write-probe fail (os.access→False, makedirs→OSError; chmod is useless
+    here — tests run as root, which ignores mode bits): with a valid
+    artifact present neither may even be consulted."""
+    import os
+    import warnings
+
+    from docling_rag_spark.operators import similarity as S
+
+    S._ivf_index(spark, "/root/testdata/sf0.001")  # ensure artifact exists
+
+    def deny_access(path, mode):
+        return False
+
+    def deny_makedirs(*a, **k):
+        raise OSError("read-only file system")
+
+    monkeypatch.setattr(os, "access", deny_access)
+    monkeypatch.setattr(os, "makedirs", deny_makedirs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # in-session retrain would warn
+        assigned, cents = S._ivf_index(spark, "/root/testdata/sf0.001")
+    assert assigned.count() > 0 and len(cents) > 0
+
+
+def test_disk_memo_write_failure_warns_and_falls_back(spark, monkeypatch):
+    """Round-5 (verdict #5, parity with _ivf_index): a storage-level memo
+    write failure must WARN and run the live DAG — a persistent failure
+    silently re-running extraction per query is a perf cliff with no
+    signal. Non-IO exceptions (a bug in the pipe) still propagate."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from docling_rag_spark.operators import extraction_queries as EQ
+
+    def boom(self, path, **kw):
+        raise AnalysisException("simulated storage failure")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.warns(UserWarning, match="disk memo"):
+        df = EQ._disk_memo(
+            spark, "/root/testdata/sf0.001", "memotest",
+            lambda: spark.range(3),
+        )
+    assert df.count() == 3
+
+    # a pipe bug is NOT swallowed into a silent live-DAG fallback
+    def bad_pipe():
+        raise ValueError("bug in the pipeline builder")
+
+    with pytest.raises(ValueError, match="bug in the pipeline"):
+        EQ._disk_memo(spark, "/root/testdata/sf0.001", "memotest2", bad_pipe)
+
+
+def test_gc_stale_artifacts_scoping(tmp_path):
+    """Round-5 (advice, medium): GC deletes only provably-superseded
+    artifacts — different spec tag (unreadable by this code), or beyond
+    the two most-recent same-spec entries. A sibling corpus sharing the
+    directory basename survives a rebuild (keep-exactly-one caused
+    perpetual thrash + FileNotFound for its concurrent readers); other
+    sf tags are untouched."""
+    import os
+    import time
+
+    from docling_rag_spark.operators.extraction_queries import (
+        _gc_stale_artifacts,
+    )
+
+    names = [
+        "pre_s1_sf0.01_fC.parquet",    # same spec, oldest → deleted
+        "pre_s1_sf0.01_fB.parquet",    # sibling corpus, same spec → kept
+        "pre_s1_sf0.01_fA.parquet",    # the just-written artifact → kept
+        "pre_dead_sf0.01_fA.parquet",  # other spec tag → deleted
+        "pre_s1_sf0.1_fA.parquet",     # other sf tag → untouched
+        "prefix2_s1_sf0.01_fA.parquet",  # other prefix → untouched
+    ]
+    now = time.time()
+    for i, n in enumerate(names):
+        (tmp_path / n).mkdir()
+        os.utime(tmp_path / n, (now + i, now + i))
+    _gc_stale_artifacts(str(tmp_path), "pre", "sf0.01", "pre_s1_sf0.01_fA.parquet")
+    left = {p.name for p in tmp_path.iterdir()}
+    assert left == {
+        "pre_s1_sf0.01_fA.parquet",
+        "pre_s1_sf0.01_fB.parquet",
+        "pre_s1_sf0.1_fA.parquet",
+        "prefix2_s1_sf0.01_fA.parquet",
+    }
 
 
 def test_source_fingerprint_tracks_data_changes(tmp_path):

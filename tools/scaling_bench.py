@@ -146,17 +146,24 @@ def main() -> None:
 
         old = bench_md.read_text()
         pos = old.find("Reproduce: `python tools/scaling_bench.py")
+        head = old  # the region this run regenerates
         if pos != -1:
             nl = old.find("\n", pos)
             preserved = old[nl + 1:].lstrip("\n")
+            head = old[:pos]
+        # carry over unmeasured pairs' rows — scanning ONLY the regenerated
+        # region (a numeric table row inside the preserved tail must not be
+        # duplicated into the scaling table; round-4 advice), and sort the
+        # merged table by N so carried rows interleave correctly
         measured = {f"| {r['pair'][0]} |" for r in results}
-        for line in old.splitlines():
+        for line in head.splitlines():
             if (
                 _re.match(r"^\| \d+ \|", line)
                 and line.count("|") >= 11
                 and not any(line.startswith(m) for m in measured)
             ):
                 rows.append(line)
+        rows.sort(key=lambda ln: int(ln.split("|")[1].strip()))
         table = "\n".join(rows)
     bench_md.write_text(f"""# BENCH — scaling evidence (north rule N→4N)
 
