@@ -1,6 +1,14 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 and compare against oracle_sql() in DuckDB (row count + sorted-value frame
-equality). Usage: python tools/oracle_check.py [sf_dir] [name ...]"""
+equality).
+
+Usage: python tools/oracle_check.py [sf_dir] [name ...]
+       [--extra]             also include the extended registry
+       [--extra-only]        ONLY the extended registry (round artifact)
+       [--json PATH]         write driver-style per-query rows to PATH
+                             (rows/schema/hash match booleans + counts) —
+                             the committed CORRECTNESS_ext_r{N}.json
+                             evidence for the extended queries."""
 
 from __future__ import annotations
 
@@ -41,8 +49,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--extra"]
-    include_extra = "--extra" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv[1:]:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        argv.remove(json_out)
+    include_extra = "--extra" in flags or "--extra-only" in flags
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
     spark = get_spark(master="local[8]", app_name="oracle-check")
@@ -54,8 +67,12 @@ def main() -> int:
         )
     qs, oracles = e.queries(), e.oracle_sql()
     if include_extra or (only and only - set(qs)):
-        qs = {**qs, **e.extended_queries()}
-        oracles = {**oracles, **e.extended_oracle_sql()}
+        extra_qs, extra_oracles = e.extended_queries(), e.extended_oracle_sql()
+        if "--extra-only" in flags:
+            qs, oracles = extra_qs, extra_oracles
+        else:
+            qs = {**qs, **extra_qs}
+            oracles = {**oracles, **extra_oracles}
     if only:
         missing = only - set(qs)
         if missing:
@@ -63,6 +80,15 @@ def main() -> int:
             return 1
         qs = {k: v for k, v in qs.items() if k in only}
     failed = []
+    report: dict[str, dict] = {}
+
+    def record(name, *, spark_rows=None, oracle_rows=None, rows=False,
+               schema=False, hashm=False, err=None):
+        report[name] = {
+            "rows_match": rows, "schema_match": schema, "hash_match": hashm,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,10 +98,12 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
+            record(name, err=f"spark: {str(ex)[:200]}")
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok   {name}: rows-only, {len(got)} rows ({time.time()-t0:.1f}s)")
+            record(name, spark_rows=len(got), rows=len(got) > 0)
             if len(got) == 0:
                 print(f"WARN {name}: 0 rows")
             continue
@@ -84,18 +112,33 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
+            record(name, spark_rows=len(got), err=f"duckdb: {str(ex)[:200]}")
             continue
         a, b = norm(got), norm(want)
+        rows_match = len(a) == len(b)
+        schema_match = list(a.columns) == list(b.columns) and all(
+            a[c].dtype == b[c].dtype for c in a.columns
+        )
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=True)
             print(f"ok   {name}: {len(a)} rows match oracle ({time.time()-t0:.1f}s)")
+            record(name, spark_rows=len(a), oracle_rows=len(b),
+                   rows=True, schema=True, hashm=True)
         except AssertionError as ex:
             print(f"FAIL {name}: mismatch (spark={len(a)} duckdb={len(b)} rows)")
             print(str(ex)[:500])
             print("spark head:", a.head(3).to_dict("records"))
             print("duck  head:", b.head(3).to_dict("records"))
             failed.append(name)
+            record(name, spark_rows=len(a), oracle_rows=len(b),
+                   rows=rows_match, schema=schema_match, hashm=False)
     print(f"\n{len(qs) - len(failed)}/{len(qs)} ok; failed: {failed}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failed else 0
 
