@@ -93,11 +93,19 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 def band_sigs(sh: DataFrame, id_col: str) -> DataFrame:
     """Melted LSH band signatures (id, band, sig) from (id, shingle) rows:
     NUM_BANDS parallel min-aggregates in ONE groupBy, then a tiny per-id
-    stack — never a band×shingle row explosion before the shuffle."""
+    stack — never a band×shingle row explosion before the shuffle.
+
+    ONE md5 per shingle, band b's hash = hex chars [8b, 8b+8) of it — the
+    classic split-one-hash minhash trick (md5's 128 bits carry 4
+    independent 32-bit fields; the per-band argmin shingles are
+    independent across bands). The previous per-band salted md5 computed
+    NUM_BANDS full digests per shingle row — measured 0.7s → 0.2s of the
+    sf0.1 minhash wall (round-5 verdict #4). Lexicographic min over
+    lowercase hex is portable to the DuckDB mirror."""
+    assert NUM_BANDS * 8 <= 32, "md5 hex carries 4 8-char band fields"
+    h = F.md5(F.col("shingle"))
     band_aggs = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(str(b)), F.col("shingle")))
-        ).alias(f"s{b}")
+        F.min(F.substring(h, 1 + 8 * b, 8)).alias(f"s{b}")
         for b in range(NUM_BANDS)
     ]
     stack = ", ".join(f"{b}, s{b}" for b in range(NUM_BANDS))
@@ -174,8 +182,9 @@ def band_sig_pairs(
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs sharing >=1 of NUM_BANDS band signatures.
-    Band signature = lexicographic min of md5('{band}|{shingle}') over the
-    doc's distinct shingles (portable: min over strings in both engines).
+    Band signature = lexicographic min of band b's 8-hex-char slice of
+    md5(shingle) over the doc's distinct shingles (portable: min over
+    strings in both engines; one digest per shingle — see band_sigs).
 
     All NUM_BANDS signatures come out of ONE groupBy(doc_id) as parallel
     min-aggregates (then a tiny per-doc stack melt) — no band×shingle row
@@ -190,7 +199,7 @@ with sh as (
   select doc_id, unnest({shingles_sql('text')}) as shingle from documents
 ),
 sigs as (
-  select doc_id, band, min(md5(band::varchar || '|' || shingle)) as sig
+  select doc_id, band, min(substring(md5(shingle), 1 + 8 * band::int, 8)) as sig
   from sh, unnest(range(0, {NUM_BANDS})) as t(band)
   group by doc_id, band
 )
