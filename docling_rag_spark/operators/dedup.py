@@ -95,17 +95,21 @@ def band_sigs(sh: DataFrame, id_col: str) -> DataFrame:
     NUM_BANDS parallel min-aggregates in ONE groupBy, then a tiny per-id
     stack — never a band×shingle row explosion before the shuffle.
 
-    ONE md5 per shingle, band b's hash = hex chars [8b, 8b+8) of it — the
-    classic split-one-hash minhash trick (md5's 128 bits carry 4
-    independent 32-bit fields; the per-band argmin shingles are
-    independent across bands). The previous per-band salted md5 computed
-    NUM_BANDS full digests per shingle row — measured 0.7s → 0.2s of the
-    sf0.1 minhash wall (round-5 verdict #4). Lexicographic min over
-    lowercase hex is portable to the DuckDB mirror."""
-    assert NUM_BANDS * 8 <= 32, "md5 hex carries 4 8-char band fields"
-    h = F.md5(F.col("shingle"))
+    Sig width is a CORRECTNESS knob, not a perf knob: band sigs must stay
+    the full 128-bit digest. A round-5 experiment split one md5 into four
+    32-bit slices (NUM_BANDS× fewer digests, ~0.15s of the 1.8s sf0.1
+    wall) — and the planted-skew test's uniform control immediately caught
+    4 birthday collisions at just 100k ids (n²/2³³ per band). Candidate-
+    PAIR consumers tolerate false positives, but lsh_bucket_dups drops the
+    non-minimum member of every bucket UNVERIFIED, so a sig collision
+    there is silent data loss — at 10^12 docs, catastrophic. Full-width
+    per-band salted digests make collisions ~2^-128 (never).
+    tests/test_operators.py::test_lsh_bucket_dups_planted_mega_bucket
+    pins this (uniform control must produce ZERO dups)."""
     band_aggs = [
-        F.min(F.substring(h, 1 + 8 * b, 8)).alias(f"s{b}")
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(b)), F.col("shingle")))
+        ).alias(f"s{b}")
         for b in range(NUM_BANDS)
     ]
     stack = ", ".join(f"{b}, s{b}" for b in range(NUM_BANDS))
@@ -182,9 +186,10 @@ def band_sig_pairs(
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs sharing >=1 of NUM_BANDS band signatures.
-    Band signature = lexicographic min of band b's 8-hex-char slice of
-    md5(shingle) over the doc's distinct shingles (portable: min over
-    strings in both engines; one digest per shingle — see band_sigs).
+    Band signature = lexicographic min of md5('{band}|{shingle}') over the
+    doc's distinct shingles (portable: min over strings in both engines;
+    full-width digests by design — see band_sigs on why narrower sigs are
+    silent data loss in the keep-smallest path).
 
     All NUM_BANDS signatures come out of ONE groupBy(doc_id) as parallel
     min-aggregates (then a tiny per-doc stack melt) — no band×shingle row
@@ -199,7 +204,7 @@ with sh as (
   select doc_id, unnest({shingles_sql('text')}) as shingle from documents
 ),
 sigs as (
-  select doc_id, band, min(substring(md5(shingle), 1 + 8 * band::int, 8)) as sig
+  select doc_id, band, min(md5(band::varchar || '|' || shingle)) as sig
   from sh, unnest(range(0, {NUM_BANDS})) as t(band)
   group by doc_id, band
 )

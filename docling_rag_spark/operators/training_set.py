@@ -250,7 +250,7 @@ sh as materialized (
   select id, unnest({dsql.shingles_sql('text')}) as shingle from chunks
 ),
 sigs as materialized (
-  select id, band, min(substring(md5(shingle), 1 + 8 * band::int, 8)) as sig
+  select id, band, min(md5(band::varchar || '|' || shingle)) as sig
   from sh, unnest(range(0, {NUM_BANDS})) as t(band)
   group by id, band
 ),

@@ -610,6 +610,68 @@ def test_ivf_readonly_valid_artifact_is_served_not_retrained(spark, monkeypatch)
     assert assigned.count() > 0 and len(cents) > 0
 
 
+def test_lsh_bucket_dups_planted_mega_bucket(spark):
+    """Round-5 (verdict #6): demonstrate, not just argue, that
+    lsh_bucket_dups survives a boilerplate mega-bucket. Plant ONE bucket
+    holding 30% of 100k ids (30k members — the pair form would emit
+    ~450M join rows and die); the keep-smallest form must (a) return
+    exactly members-minus-minimum, (b) complete within a small factor of
+    a uniform control of the SAME row count (no straggler domination:
+    the bucket costs b rows, not b²/2)."""
+    import time
+
+    from docling_rag_spark.operators.dedup import lsh_bucket_dups
+
+    n = 100_000
+    ids = spark.range(n).select(
+        F.format_string("id%07d", F.col("id")).alias("id"),
+        (F.col("id") % 10 < 3).alias("mega"),
+    )
+    sh = ids.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("mega"),
+                F.array(
+                    F.lit("all rights reserved a"),
+                    F.lit("rights reserved to b"),
+                    F.lit("reserved to the c"),
+                ),
+            ).otherwise(
+                F.array(
+                    F.concat(F.col("id"), F.lit("-u1")),
+                    F.concat(F.col("id"), F.lit("-u2")),
+                    F.concat(F.col("id"), F.lit("-u3")),
+                )
+            )
+        ).alias("shingle"),
+    )
+    uniform = ids.select(
+        "id",
+        F.explode(
+            F.array(
+                F.concat(F.col("id"), F.lit("-v1")),
+                F.concat(F.col("id"), F.lit("-v2")),
+                F.concat(F.col("id"), F.lit("-v3")),
+            )
+        ).alias("shingle"),
+    )
+    # warm the codegen on the control shape first, then time both
+    lsh_bucket_dups(uniform, "id").count()
+    t0 = time.time()
+    n_uniform_dups = lsh_bucket_dups(uniform, "id").count()
+    t_uniform = time.time() - t0
+    t0 = time.time()
+    dups = set(r["id"] for r in lsh_bucket_dups(sh, "id").collect())
+    t_mega = time.time() - t0
+    mega_ids = {f"id{i:07d}" for i in range(n) if i % 10 < 3}
+    assert n_uniform_dups == 0
+    assert dups == mega_ids - {min(mega_ids)}
+    # O(n) wall bound: generous 4x + 5s guard against host noise — the
+    # quadratic form would be minutes, not seconds
+    assert t_mega < 4 * t_uniform + 5, (t_mega, t_uniform)
+
+
 def test_disk_memo_write_failure_warns_and_falls_back(spark, monkeypatch):
     """Round-5 (verdict #5, parity with _ivf_index): a storage-level memo
     write failure must WARN and run the live DAG — a persistent failure
