@@ -172,8 +172,10 @@ group by doc_id
 CHUNK_MIN_TOKENS = 10
 
 
-def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Select the training-ready subset of EXTRACTED chunks.
+def select_training_chunks(chunks: DataFrame) -> DataFrame:
+    """The selection core over ANY chunk table (the production shape: the
+    extract job's chunks output read back from Iceberg/parquet) — shared by
+    the training_subset_chunks driver query and jobs/select_job.py.
 
     Filters, each the production operator at chunk granularity:
     - holdout: chunks of eval docs (doc_id % DECON_EVAL_MOD == 0) excluded;
@@ -197,9 +199,7 @@ def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py). The only big shuffles are the two shingle
     groupBys already benchmarked in the dedup suite."""
     from .dedup import lsh_bucket_dups, shingle_rows_from
-    from .extraction_queries import extract_chunks_q
 
-    chunks = extract_chunks_q(spark, sf_dir)
     is_eval = F.col("doc_id").cast("bigint") % DECON_EVAL_MOD == 0
     dups = lsh_bucket_dups(shingle_rows_from(chunks, "id"), "id")
     # eval/train gram rows via staged-token shingling (shingle_rows_from:
@@ -234,6 +234,15 @@ def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(dups, "id", "left_anti").join(
         contaminated, "id", "left_anti"
     )
+
+
+def training_subset_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the selection core over this sf's extracted chunks
+    (disk-memoized chunk table — each plan branch scans parquet, the exact
+    shape of reading the production chunks table)."""
+    from .extraction_queries import extract_chunks_q
+
+    return select_training_chunks(extract_chunks_q(spark, sf_dir))
 
 
 def _training_subset_chunks_sql() -> str:

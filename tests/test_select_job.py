@@ -1,0 +1,135 @@
+"""jobs/select_job.py — the deployable selection flagship (round-5 verdict
+#8): idempotent sink + per-doc selection lineage + kill-and-resume at the
+selection stage."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_rag_spark.datagen import build_spans
+from docling_rag_spark.pipeline import run_extraction
+from docling_rag_spark.schemas import DOCUMENTS_SPANS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def chunks_path(spark, tmp_path_factory):
+    """A small chunk table from the REAL extraction pipeline, with numeric
+    doc ids (the holdout rule is doc_id % 50), duplicate texts (dedup must
+    trigger) and a too-short doc (filtered status must appear)."""
+    dup = "the quick brown fox jumps over the lazy dog and the hen of prose"
+    rows = []
+    for i in range(96, 112):  # 100 is an eval doc (100 % 50 == 0)
+        text = dup if i in (97, 103, 109) else (
+            f"word{i} stories of the old town and the river {i} "
+            f"keep the lights on and the doors open number {i}"
+        )
+        rows.append((str(i), build_spans(str(i), text)))
+    rows.append(("113", build_spans("113", "tiny doc")))  # -> filtered
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SPANS_SCHEMA)
+    _, chunks, _ = run_extraction(docs, run_id="mk-chunks")
+    out = str(tmp_path_factory.mktemp("sel") / "chunks.parquet")
+    chunks.write.parquet(out)
+    return out
+
+
+def _run_job(monkeypatch, spark, argv):
+    import jobs.select_job as J
+
+    monkeypatch.setattr(sys, "argv", ["select_job.py"] + argv)
+    # the job's spark.stop() must not kill the shared test session
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    J.main()
+
+
+def test_select_job_kill_and_resume(spark, chunks_path, tmp_path, monkeypatch):
+    import docling_rag_spark.sources.sinks as sinks
+
+    ref_out = str(tmp_path / "ref")
+    _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", ref_out,
+                                  "--run-id", "clean"])
+    ref_sel = spark.read.parquet(f"{ref_out}/selected_chunks")
+    ref_ids = {r["id"] for r in ref_sel.select("id").collect()}
+    ref_lin = spark.read.parquet(f"{ref_out}/selection_lineage")
+    statuses = {r["status"] for r in ref_lin.select("status").collect()}
+    assert len(ref_ids) > 0
+    assert statuses == {"selected", "filtered"}  # both outcomes exercised
+    # holdout honored: no eval doc's chunks selected
+    assert ref_sel.filter(F.col("doc_id").cast("bigint") % 50 == 0).count() == 0
+    # lineage covers every input doc exactly once
+    n_docs = spark.read.parquet(chunks_path).select("doc_id").distinct().count()
+    assert ref_lin.count() == n_docs
+
+    # ---- kill-and-resume: crash BETWEEN chunk append and lineage commit
+    out = str(tmp_path / "crash")
+    real = sinks.idempotent_append
+
+    def crashing(spark_, df, path, key="id", **kw):
+        if "selection_lineage" in path:
+            raise RuntimeError("simulated crash before lineage commit")
+        return real(spark_, df, path, key, **kw)
+
+    monkeypatch.setattr(sinks, "idempotent_append", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", out,
+                                      "--run-id", "killed"])
+    monkeypatch.setattr(sinks, "idempotent_append", real)
+    # chunks were committed, lineage was not — the crash window
+    assert spark.read.parquet(f"{out}/selected_chunks").count() > 0
+    import os
+
+    assert not os.path.isdir(f"{out}/selection_lineage")
+
+    # ---- resume: replays are dropped by the id key; end state == clean run
+    _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", out,
+                                  "--resume", "--run-id", "resumed"])
+    sel = spark.read.parquet(f"{out}/selected_chunks")
+    assert {r["id"] for r in sel.select("id").collect()} == ref_ids
+    assert sel.count() == sel.select("id").distinct().count()  # exactly-once
+    lin = spark.read.parquet(f"{out}/selection_lineage")
+    assert lin.count() == n_docs
+    assert {r["run_id"] for r in lin.select("run_id").distinct().collect()} == {
+        "resumed"
+    }
+
+    # ---- a second resume run is a no-op: every doc already has lineage
+    _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", out,
+                                  "--resume", "--run-id", "noop"])
+    lin2 = spark.read.parquet(f"{out}/selection_lineage")
+    assert lin2.count() == n_docs
+    assert lin2.filter(F.col("run_id") == "noop").count() == 0
+    assert spark.read.parquet(f"{out}/selected_chunks").count() == len(ref_ids)
+
+
+def test_select_job_partial_lineage_resume_skips_done(
+    spark, chunks_path, tmp_path, monkeypatch
+):
+    """A run killed AFTER some docs' lineage committed: resume must skip
+    exactly those docs (write side) while still deduplicating against the
+    full corpus — final state equals a clean run."""
+    ref_out = str(tmp_path / "ref2")
+    _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", ref_out,
+                                  "--run-id", "clean"])
+    ref_lin = spark.read.parquet(f"{ref_out}/selection_lineage")
+    ref_sel = spark.read.parquet(f"{ref_out}/selected_chunks")
+    ref_ids = {r["id"] for r in ref_sel.select("id").collect()}
+
+    out = str(tmp_path / "partial")
+    some_docs = [r["doc_id"] for r in ref_lin.select("doc_id").collect()][:5]
+    partial_lin = ref_lin.filter(F.col("doc_id").isin(some_docs)).withColumn(
+        "run_id", F.lit("killed")
+    )
+    partial_sel = ref_sel.filter(F.col("doc_id").isin(some_docs))
+    partial_lin.write.parquet(f"{out}/selection_lineage")
+    partial_sel.write.parquet(f"{out}/selected_chunks")
+
+    _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", out,
+                                  "--resume", "--run-id", "resumed"])
+    lin = spark.read.parquet(f"{out}/selection_lineage")
+    sel = spark.read.parquet(f"{out}/selected_chunks")
+    assert {r["id"] for r in sel.select("id").collect()} == ref_ids
+    # the 5 pre-committed docs kept their original lineage rows (skipped)
+    assert lin.filter(F.col("run_id") == "killed").count() == 5
+    assert lin.count() == ref_lin.count()
