@@ -489,10 +489,13 @@ def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
             rdd.unpersist(False)
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) where cluster_id = min doc_id reachable through
-    the minhash-LSH candidate-pair graph (docs with no candidate pair are
-    their own singleton cluster).
+def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for ANY undirected pair graph: cluster_id =
+    min doc_id reachable from doc_id through ``pairs`` (doc_a, doc_b);
+    isolated nodes are their own singleton cluster. The iterative core of
+    dedup_clusters, shared with the scaling bench (which feeds it a
+    generated multi-million-edge graph — the sf-table graph is too small
+    to measure scaling against fixed per-iteration overhead).
 
     Spark: iterative label propagation — labels(d) = min(label(d),
     min(label(n) for neighbors n)), looped to fixpoint with a driver-side
@@ -501,8 +504,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star/large-star would cut iterations; candidate graphs from LSH
     are near-disjoint cliques, so plain propagation converges in ~2 steps).
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    spark = docs.sparkSession
     # undirected edge list (both directions) — propagation is symmetric.
     # localCheckpoint(eager) TRUNCATES lineage each step: an iterative loop
     # built on cache() alone re-derives ever-longer plans (and a cached
@@ -531,25 +533,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         jump = labels.select(
             F.col("doc_id").alias("j_key"), F.col("cluster_id").alias("j_label")
         )
+        new_label = F.least(
+            F.col("cluster_id"),
+            F.coalesce("neigh_min", F.col("cluster_id")),
+            F.coalesce("j_label", F.col("cluster_id")),
+        )
+        # the changed flag rides INSIDE the checkpointed frame: the old
+        # convergence check was a separate labels⋈new_labels join job per
+        # iteration — pure per-iteration serial overhead (measured: the
+        # 4→16 scaling of a 4M-node graph was Amdahl-capped at 0.55 with
+        # ~4s/iteration of driver-side job latency; the flag turns the
+        # check into a scan of already-materialized checkpoint blocks)
         new_labels, new_ids = _ckpt_tracked(
             labels.join(neigh, "doc_id", "left")
             .join(jump, F.col("cluster_id") == F.col("j_key"), "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("neigh_min", F.col("cluster_id")),
-                    F.coalesce("j_label", F.col("cluster_id")),
-                ).alias("cluster_id"),
+                new_label.alias("new_cluster_id"),
+                (new_label != F.col("cluster_id")).alias("chg"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter("chg").limit(1).count()
+        new_labels = new_labels.drop("chg")
         # the superseded checkpoint's blocks are dead once new_labels is
         # materialized (eager) and `changed` computed — release immediately
         # instead of accumulating one label table per iteration
@@ -561,6 +567,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the FINAL label table stays persisted — it backs the returned
     # (lineage-truncated) DataFrame
     return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: connected components over the minhash-LSH candidate
+    graph of this sf's documents table."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(docs, pairs)
 
 
 # DuckDB oracle: recursive CTE reachability → min reachable doc per doc.

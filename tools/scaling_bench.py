@@ -16,6 +16,13 @@ the ceiling is attributable to silicon, not the engine.
 Each level runs in a fresh subprocess (own JVM); the timed measurement is
 the median of 3 runs after a warmup pass. Writes BENCH.md.
 Usage: python tools/scaling_bench.py [sf_dir] [mult] [N] [4N]
+
+Query mode (round-5 verdict #3 — scaling evidence for headline QUERIES,
+not just the extraction flagship):
+  python tools/scaling_bench.py --query <name> [sf_dir] [N 4N]
+runs __spark_entry__.queries()[name] at both levels (fresh JVM each, warm
+pass + median of 3, noop sink) and prints a JSON result with the
+efficiency — it does NOT rewrite BENCH.md (paste the row by hand).
 """
 
 from __future__ import annotations
@@ -58,6 +65,117 @@ print(json.dumps({{"cores": cores, "n_docs": n_docs, "n_spans": n_spans,
 """
 
 
+QUERY_RUNNER = r"""
+import gc, json, statistics, sys, time
+sys.path.insert(0, "{repo}")
+from docling_rag_spark.session import get_spark
+cores = int(sys.argv[1]); name = sys.argv[2]; sf_dir = sys.argv[3]
+spark = get_spark(master=f"local[{{cores}}]", app_name=f"qscale-{{cores}}")
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
+if name.startswith("select_chunks@"):
+    # the flagship's selection core over a pre-materialized SCALED chunk
+    # table (the sf-table chunk count is overhead-dominated at high cores)
+    from docling_rag_spark.operators.training_set import select_training_chunks
+    path = name.split("@", 1)[1]
+    fn = lambda: select_training_chunks(spark.read.parquet(path))
+elif name.startswith("cc@"):
+    # the iterative CC core over a generated chain graph (64-node chains:
+    # pointer jumping needs ~log2(64) rounds — exercises the iteration
+    # structure at any size without an LSH pair blow-up)
+    from docling_rag_spark.operators.dedup import connected_components
+    n = int(name.split("@", 1)[1])
+    def fn():
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        edges = spark.range(n - 1).filter(F.col("id") % 64 != 63).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        return connected_components(nodes, edges)
+elif name.startswith("shufflemb@"):
+    # memory-bandwidth control: a pure JVM shuffle+hash-agg over N md5
+    # strings — no Python, no disk. Busy-loop controls measure core CLOCK
+    # scaling; this measures how string shuffle/agg (the selection
+    # pipeline's dominant stages) scales when 4x more cores contend for
+    # the same memory bus.
+    n = int(name.split("@", 1)[1])
+    def fn():
+        d = spark.range(n).select(F.md5(F.col("id").cast("string")).alias("h"))
+        return d.groupBy(F.substring("h", 1, 6).alias("k")).count()
+else:
+    import __spark_entry__ as e
+    q = e.queries()[name]
+    fn = lambda: q(spark, sf_dir)
+def run():
+    fn().write.format("noop").mode("overwrite").save()
+run()  # warm: codegen + any disk memos (shared across levels via data/)
+walls = []
+for i in range(3):
+    spark.catalog.clearCache(); gc.collect(); spark.sparkContext._jvm.System.gc()
+    t0 = time.time(); run(); walls.append(time.time() - t0)
+spark.stop()
+print(json.dumps({{"cores": cores, "wall_sec": round(statistics.median(walls), 3),
+                   "all_walls": [round(w, 2) for w in walls]}}))
+"""
+
+
+def run_query_level(cores: int, name: str, sf_dir: str) -> dict:
+    script = QUERY_RUNNER.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), name, sf_dir],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    if out.returncode != 0:
+        raise SystemExit(f"query runner failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _materialize_scaled_chunks(sf_dir: str, mult: int) -> str:
+    """Chunk table of the ×mult bench corpus (run once, shared by levels)."""
+    out = str(REPO / "data" / f"scale_chunks_{os.path.basename(os.path.normpath(sf_dir))}_x{mult}.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    sys.path.insert(0, str(REPO))
+    from bench import materialize_bench_corpus
+    from docling_rag_spark.pipeline import run_extraction
+    from docling_rag_spark.session import get_spark
+
+    spark = get_spark(master="local[16]", app_name="scale-chunk-prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_path = materialize_bench_corpus(spark, sf_dir, mult, str(REPO / "data"))
+    corpus = spark.read.parquet(corpus_path)
+    _, chunks, _ = run_extraction(corpus, run_id="scale-prep")
+    # numeric-castable doc ids: the holdout rule is doc_id % 50, and the
+    # bench corpus suffixes replicas as '<id>#<rep>' — fold the rep into a
+    # distinct numeric id so every selection stage sees realistic ids
+    from pyspark.sql import functions as F
+
+    chunks = chunks.withColumn(
+        "doc_id",
+        (F.split("doc_id", "#")[0].cast("bigint") * 1000
+         + F.coalesce(F.split("doc_id", "#")[1].cast("bigint"), F.lit(0))
+         ).cast("string"),
+    )
+    chunks.repartition(64).write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def query_mode(name: str, sf_dir: str, pairs: list[tuple[int, int]]) -> None:
+    if name.startswith("select_chunks_x"):
+        mult = int(name.rsplit("x", 1)[1])
+        name = f"select_chunks@{_materialize_scaled_chunks(sf_dir, mult)}"
+    for n_lo, n_hi in pairs:
+        control = cpu_control((n_lo, n_hi))
+        lo = run_query_level(n_lo, name, sf_dir)
+        hi = run_query_level(n_hi, name, sf_dir)
+        eff = round((lo["wall_sec"] / hi["wall_sec"]) / (n_hi / n_lo), 3)
+        print(json.dumps({
+            "query": name, "sf_dir": sf_dir, "pair": (n_lo, n_hi),
+            "lo": lo, "hi": hi, "eff": eff,
+            "control_ratio": control["ratio"],
+        }, indent=2))
+
+
 def run_level(cores: int, corpus_path: str) -> dict:
     script = RUNNER.format(repo=str(REPO))
     out = subprocess.run(
@@ -96,6 +214,14 @@ def _burn(_: int) -> int:
 
 
 def main() -> None:
+    if "--query" in sys.argv:
+        qi = sys.argv.index("--query")
+        name = sys.argv[qi + 1]
+        rest = sys.argv[1:qi] + sys.argv[qi + 2:]
+        sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
+        pairs = [(int(rest[1]), int(rest[2]))] if len(rest) > 2 else [(4, 16)]
+        query_mode(name, sf_dir, pairs)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     pairs = [(4, 16), (8, 32)]
