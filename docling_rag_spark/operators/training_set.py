@@ -363,5 +363,78 @@ where {u_h} / 4294967295.0
 
 MIXTURE_SAMPLE_SQL = _mixture_sample_sql()
 
-EXTRA_QUERIES = {"mixture_sample": mixture_sample}
-EXTRA_ORACLES = {"mixture_sample": MIXTURE_SAMPLE_SQL}
+# --------------------------------------------------------------------------
+# Sequence packing (round 5): assign extracted chunks to fixed-token-budget
+# training sequences — the batch-prep step between selection and the
+# trainer (GPT-style concat-then-split: the chunk stream is concatenated in
+# a deterministic order and cut every PACK_BUDGET tokens; a chunk belongs
+# to the sequence its FIRST token lands in, so chunks may straddle a cut —
+# the trainer's attention mask handles that, and no stateful best-fit scan
+# is needed). Packing runs WITHIN md5-derived buckets, not a global order:
+# a global window is one task at any scale, while per-bucket packing is
+# embarrassingly parallel and each bucket's stream is still deterministic
+# (bucket, doc_id, chunk_index). One shuffle on bucket.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 512
+PACK_BUCKETS = 16
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .extraction_queries import extract_chunks_q
+
+    chunks = extract_chunks_q(spark, sf_dir)
+    bucket = F.pmod(
+        _hex_bigint_col(F.col("doc_id"), 6), F.lit(PACK_BUCKETS)
+    ).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy("doc_id", "chunk_index")
+    with_b = chunks.select("id", "doc_id", "chunk_index", "n_tokens", bucket)
+    cum = F.sum("n_tokens").over(w)
+    return with_b.select(
+        "id",
+        "doc_id",
+        "chunk_index",
+        "bucket",
+        (cum - F.col("n_tokens")).alias("tok_offset"),
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+
+def _pack_sequences_sql() -> str:
+    from .common import hexn_to_bigint_sql
+    from .extraction_queries import _CORPUS_KEY_SQL, _golden
+
+    bucket = f"{hexn_to_bigint_sql('md5(doc_id)', 6)} % {PACK_BUCKETS}"
+    return f"""
+with chunks as (
+  select doc_id, chunk_index, n_tokens, id, {bucket} as bucket
+  from read_parquet('{_golden("extract_chunks_golden.parquet")}')
+  where corpus_key = {_CORPUS_KEY_SQL}
+),
+cum as (
+  select id, doc_id, chunk_index, bucket,
+         sum(n_tokens) over (
+           partition by bucket order by doc_id, chunk_index
+           rows between unbounded preceding and current row
+         ) - n_tokens as tok_offset
+  from chunks
+)
+select id, doc_id, chunk_index, bucket, tok_offset::bigint as tok_offset,
+       cast(floor(tok_offset / {PACK_BUDGET}.0) as bigint) as seq_id
+from cum
+"""
+
+
+PACK_SEQUENCES_SQL = _pack_sequences_sql()
+
+EXTRA_QUERIES = {
+    "mixture_sample": mixture_sample,
+    "pack_sequences": pack_sequences,
+}
+EXTRA_ORACLES = {
+    "mixture_sample": MIXTURE_SAMPLE_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+}

@@ -762,6 +762,24 @@ def test_source_fingerprint_tracks_data_changes(tmp_path):
     assert source_fingerprint(str(a)) != f_a0
 
 
+def test_pack_sequences_plan_bucketed_not_global(spark):
+    """Sequence packing must run per md5-bucket: one hash Exchange on
+    bucket, and NEVER a single-partition exchange feeding the running-sum
+    window (a global packing order is one task at any scale)."""
+    from docling_rag_spark.operators.training_set import pack_sequences
+
+    plan = _formatted_plan(pack_sequences(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    # every bucket's token stream is contiguous: offsets within (bucket,
+    # seq) never exceed the budget start of the NEXT seq
+    from docling_rag_spark.operators.training_set import PACK_BUDGET
+
+    rows = pack_sequences(spark, SF).collect()
+    for r in rows:
+        assert r["seq_id"] == r["tok_offset"] // PACK_BUDGET
+
+
 def test_mixture_sample_plan_no_exchange(spark):
     """Rate-based domain mixture is a pure filter: NO exchange of any kind
     in the plan (the quota-based stratified_sample pays a per-stratum
