@@ -490,3 +490,67 @@ from documents
 
 QUERIES["text_redact_pii"] = redact_pii
 ORACLES["text_redact_pii"] = REDACT_PII_SQL
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (round 5): top-K terms per document by
+# tf × ln(N/df) — the classic per-doc keyword/topic signal a corpus
+# analysis pipeline wants next to language/quality. Relational shape: one
+# (doc_id, term) count shuffle, df as a window count over the term-grouped
+# rows (one row per doc-term, NOT per token), corpus size N as a BROADCAST
+# single-row aggregate (the BM25 corpus-stats pattern — never a driver
+# action at plan-build time). Ranking orders by the ROUNDED score so
+# cross-engine ties (identical tf/df) break identically on the term.
+# --------------------------------------------------------------------------
+K_KEYWORDS = 5
+
+
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tfdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    scored = tfdf.crossJoin(F.broadcast(n_docs)).withColumn("tfidf", tfidf)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_KEYWORDS)
+        .select("doc_id", "term", "tf", "tfidf", "rk")
+    )
+
+
+DOC_KEYWORDS_SQL = f"""
+with toks as (
+  select doc_id, unnest({dsql.tokens_sql('text', lower=True)}) as term
+  from documents
+),
+tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+tfdf as (
+  select doc_id, term, tf, count(*) over (partition by term) as df from tf
+),
+n as (select count(*) as n_docs from documents)
+select doc_id, term, tf, tfidf, rk from (
+  select doc_id, term, tf,
+         round(tf * ln(n_docs::double / df), 6) as tfidf,
+         row_number() over (
+           partition by doc_id
+           order by round(tf * ln(n_docs::double / df), 6) desc, term asc
+         ) as rk
+  from tfdf, n
+) where rk <= {K_KEYWORDS}
+"""
+
+EXTRA_QUERIES = {"doc_keywords": doc_keywords}
+EXTRA_ORACLES = {"doc_keywords": DOC_KEYWORDS_SQL}
