@@ -52,6 +52,9 @@ HEADLINE = [
     "chunk_documents",
     "decontaminate",
     "training_subset_chunks",
+    "pack_sequences",
+    "span_boilerplate",
+    "doc_keywords",
     "pricing_summary",
     "revenue_by_nation",
     "latest_event_per_user",
@@ -118,7 +121,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extended_queries()}
     # steady-state discipline (same as the extraction warmup above): each
     # query's FIRST run is dominated by whole-stage-codegen compilation and
     # scan planning (measured 12.1s cold vs 1.1s warm for minhash at sf0.1
