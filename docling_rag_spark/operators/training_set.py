@@ -379,12 +379,12 @@ PACK_BUDGET = 512
 PACK_BUCKETS = 16
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_chunks(chunks: DataFrame) -> DataFrame:
+    """The packing core over ANY (id, doc_id, chunk_index, n_tokens) chunk
+    frame — shared by the pack_sequences driver query and
+    jobs/select_job.py --pack (where it runs over the SELECTED subset)."""
     from pyspark.sql import Window
 
-    from .extraction_queries import extract_chunks_q
-
-    chunks = extract_chunks_q(spark, sf_dir)
     bucket = F.pmod(
         _hex_bigint_col(F.col("doc_id"), 6), F.lit(PACK_BUCKETS)
     ).alias("bucket")
@@ -401,6 +401,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seq_id"),
     )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extraction_queries import extract_chunks_q
+
+    return pack_chunks(extract_chunks_q(spark, sf_dir))
 
 
 def _pack_sequences_sql() -> str:

@@ -13,6 +13,15 @@ Outputs under --output:
   selection_lineage/   per-INPUT-doc checkpoint rows (run_id, doc_id,
                        n_chunks_in, n_chunks_selected, status ∈
                        {selected, filtered}, selected_at)
+  packed_sequences/    (--pack) fixed-token-budget training-sequence
+                       assignment of the COMMITTED selected set (bucketed
+                       GPT-style concat-then-split; operators/
+                       training_set.pack_chunks). Packing is a pure
+                       function of the full selected table — offsets are
+                       global per bucket — so it is REGENERATED (atomic
+                       overwrite) each run rather than incrementally
+                       appended; resume-safety comes from its input being
+                       the idempotent selected_chunks table.
 
 Exactly-once across crashes mirrors extract_job: selected_chunks is an
 idempotent keyed append (key=id), the lineage COMMIT is written LAST — a
@@ -51,6 +60,9 @@ def main() -> None:
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--resume", action="store_true",
                    help="anti-join prior selection_lineage at --output")
+    p.add_argument("--pack", action="store_true",
+                   help="also emit packed_sequences/ over the committed "
+                        "selected set (regenerated each run)")
     p.add_argument("--run-id", default=None)
     args = p.parse_args()
 
@@ -126,6 +138,15 @@ def main() -> None:
     # line leaves the docs resumable; replays of the chunk append above are
     # dropped by the id key
     idempotent_append(spark, lineage, lineage_dir, key=["doc_id"])
+
+    if args.pack:
+        from docling_rag_spark.operators.training_set import pack_chunks
+
+        committed = spark.read.parquet(
+            os.path.join(args.output, "selected_chunks")
+        )
+        pack_dir = os.path.join(args.output, "packed_sequences")
+        pack_chunks(committed).write.mode("overwrite").parquet(pack_dir)
 
     lin = spark.read.parquet(lineage_dir)
     stats = {r["status"]: r["count"] for r in lin.groupBy("status").count().collect()}

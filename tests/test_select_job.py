@@ -102,6 +102,25 @@ def test_select_job_kill_and_resume(spark, chunks_path, tmp_path, monkeypatch):
     assert lin2.filter(F.col("run_id") == "noop").count() == 0
     assert spark.read.parquet(f"{out}/selected_chunks").count() == len(ref_ids)
 
+    # ---- --pack on a resumed output packs the FULL committed selected
+    # set (regenerated, not appended — offsets are global per bucket)
+    from docling_rag_spark.operators.training_set import PACK_BUDGET
+
+    _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", out,
+                                  "--resume", "--pack", "--run-id", "packed"])
+    packed = spark.read.parquet(f"{out}/packed_sequences")
+    rows = packed.collect()
+    assert {r["id"] for r in rows} == ref_ids
+    assert all(r["seq_id"] == r["tok_offset"] // PACK_BUDGET for r in rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for members in by_bucket.values():
+        members.sort(key=lambda r: (r["doc_id"], r["chunk_index"]))
+        assert members[0]["tok_offset"] == 0  # each bucket stream starts at 0
+        offs = [r["tok_offset"] for r in members]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
 
 def test_select_job_partial_lineage_resume_skips_done(
     spark, chunks_path, tmp_path, monkeypatch
