@@ -488,19 +488,9 @@ BATCH_TOP_K = 5
 # miss neighbors in the runner-up cell); two cells recover most of it at
 # ~2/K of the table scanned per query (tools/ann_recall.py → BENCH.md).
 BATCH_NPROBE = 2
-# Broadcast the probe table only while it is actually broadcast-sized:
-# nprobe × this many queries × (dim floats + key) ≈ tens of MB. A serving
-# batch is far below it; feeding the whole corpus as queries (bulk ANN
-# self-lookup) must NOT inherit the hint — past the gate the cell join
-# shuffles (or AQE re-broadcasts if it measures small at runtime).
-BATCH_BROADCAST_MAX_QUERIES = 50_000
 
 
-def knn_ivf_batch(
-    spark: SparkSession,
-    sf_dir: str,
-    broadcast_max_queries: int = BATCH_BROADCAST_MAX_QUERIES,
-) -> DataFrame:
+def knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query IVF top-k for a whole BATCH of query vectors in one plan:
     queries ⋈ broadcast centroids → BATCH_NPROBE nearest cells per query →
     join the (qid, cell, qv) probe table against the cell-partitioned
@@ -512,12 +502,16 @@ def knn_ivf_batch(
     is PARTITIONED BY (cell), so non-probed cells prune at the scan); each
     query pays ~corpus/K candidate rows, and the only shuffle is the
     per-qid window over candidates — never a crossJoin against the full
-    table. The probe-table broadcast is SIZE-GATED on the counted batch
-    (round-4 verdict #9): a serving batch broadcasts, but a corpus-sized
-    query set (bulk self-lookup) falls through to a shuffle join on cell —
-    a forced hint there would OOM the driver. The reference serves one
-    query per HNSW probe (src/storage/postgres.py:127-164); this is the
-    pipeline-scale analog."""
+    table. The probe table carries NO forced broadcast hint: the query
+    batch is caller-sized (a serving batch is tiny; a bulk self-lookup is
+    the corpus), so the choice belongs to AQE's runtime measurement —
+    same policy as the training-set anti-joins, and cheaper than the
+    round-5 interim size-gate, which paid an eager count() job at every
+    plan construction. At sandbox scale AQE broadcasts (final-plan
+    asserted); a corpus-sized batch degrades to a shuffle join on cell
+    instead of a driver OOM. The reference serves one query per HNSW
+    probe (src/storage/postgres.py:127-164); this is the pipeline-scale
+    analog."""
     from pyspark.sql import Window
 
     assigned, cents = _ivf_index(spark, sf_dir)
@@ -527,9 +521,6 @@ def knn_ivf_batch(
         .filter(F.col("vec_id") % BATCH_Q_MOD == 0)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
-    # one cheap count of the (filtered, 2-column) query side gates the
-    # broadcast decision — the probe table is nprobe× this many rows
-    n_queries = q.count()
     csim = _dot(F.col("qv"), F.col("cvec")) / (
         _norm(F.col("qv")) * _norm(F.col("cvec"))
     )
@@ -547,9 +538,8 @@ def knn_ivf_batch(
         6,
     )
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    probe = F.broadcast(qcell) if n_queries <= broadcast_max_queries else qcell
     return (
-        assigned.join(probe, "cell")
+        assigned.join(qcell, "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", "label", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(wk))

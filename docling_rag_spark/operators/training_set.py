@@ -200,7 +200,17 @@ def select_training_chunks(chunks: DataFrame) -> DataFrame:
     groupBys already benchmarked in the dedup suite."""
     from .dedup import lsh_bucket_dups, shingle_rows_from
 
-    is_eval = F.col("doc_id").cast("bigint") % DECON_EVAL_MOD == 0
+    # try_cast + coalesce the holdout predicate: a NON-numeric doc_id (a
+    # UUID-style id from a real extraction run) must not break selection —
+    # a plain cast THROWS under ANSI mode, and a bare NULL predicate fails
+    # BOTH filter(is_eval) and filter(~is_eval), silently vanishing the
+    # doc's chunks from eval AND training (masked as 'filtered' in
+    # select_job's lineage). Non-castable ids are training docs; the
+    # deterministic %-slice holdout only applies to numeric ids (in
+    # production the holdout is the benchmark table).
+    is_eval = F.coalesce(
+        F.col("doc_id").try_cast("bigint") % DECON_EVAL_MOD == 0, F.lit(False)
+    )
     dups = lsh_bucket_dups(shingle_rows_from(chunks, "id"), "id")
     # eval/train gram rows via staged-token shingling (shingle_rows_from:
     # inlined shingles_col re-runs the tokenizer per slice element, 14×)
@@ -388,7 +398,16 @@ def pack_chunks(chunks: DataFrame) -> DataFrame:
     bucket = F.pmod(
         _hex_bigint_col(F.col("doc_id"), 6), F.lit(PACK_BUCKETS)
     ).alias("bucket")
-    w = Window.partitionBy("bucket").orderBy("doc_id", "chunk_index")
+    # explicit ROWS frame: Spark's default for an ordered window is RANGE,
+    # which aggregates ALL peer rows together — two rows with the same
+    # (doc_id, chunk_index) (a replayed non-idempotent writer) would each
+    # get a cum including the other's tokens and diverge from the oracle's
+    # 'rows between unbounded preceding and current row'
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     with_b = chunks.select("id", "doc_id", "chunk_index", "n_tokens", bucket)
     cum = F.sum("n_tokens").over(w)
     return with_b.select(

@@ -141,12 +141,19 @@ def main() -> None:
 
     if args.pack:
         from docling_rag_spark.operators.training_set import pack_chunks
+        from docling_rag_spark.sources.sinks import _recover_swap, _swap_in
 
         committed = spark.read.parquet(
             os.path.join(args.output, "selected_chunks")
         )
         pack_dir = os.path.join(args.output, "packed_sequences")
-        pack_chunks(committed).write.mode("overwrite").parquet(pack_dir)
+        # atomic replace via the sinks swap protocol (write .tmp, rename
+        # swap, crash windows healed on entry) — a plain mode('overwrite')
+        # deletes the target BEFORE writing, so a crash mid-pack would
+        # leave a reader facing a missing/partial table
+        _recover_swap(pack_dir)
+        pack_chunks(committed).write.mode("overwrite").parquet(pack_dir + ".tmp")
+        _swap_in(pack_dir)
 
     lin = spark.read.parquet(lineage_dir)
     stats = {r["status"]: r["count"] for r in lin.groupBy("status").count().collect()}

@@ -122,6 +122,44 @@ def test_select_job_kill_and_resume(spark, chunks_path, tmp_path, monkeypatch):
         assert offs == sorted(offs) and len(set(offs)) == len(offs)
 
 
+def test_non_numeric_doc_ids_are_not_silently_dropped(spark):
+    """Round-5 review: a NULL holdout predicate (non-numeric doc_id casts
+    to NULL) used to fail BOTH the eval and the training filter, so such
+    docs' chunks vanished silently (masked as 'filtered' in lineage). A
+    UUID-style chunk table must flow through selection as training docs."""
+    from docling_rag_spark.operators.training_set import (
+        select_training_chunks,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog and then the hen "
+            "walks along the river bank past the old mill")
+    rows = [
+        (f"uuid-{i:04x}-doc", i, text + f" tail{i}", 22, f"id{i:04d}")
+        for i in range(8)
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id string, chunk_index int, text string, n_tokens int, id string"
+    )
+    out = select_training_chunks(chunks)
+    got_docs = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    # nothing is eval (non-numeric ids), nothing vanishes: every doc that
+    # passes the quality/lang/dedup gates appears, and at minimum SOME do
+    assert len(got_docs) > 0
+    assert got_docs <= {r[0] for r in rows}
+    # every input doc is accounted for: present in output or dropped by a
+    # REAL filter (here texts are near-identical -> LSH dedup drops the
+    # non-minimum ids; the union of kept+dup-dropped must cover all docs)
+    from docling_rag_spark.operators.dedup import lsh_bucket_dups, shingle_rows_from
+
+    dup_ids = {
+        r["id"]
+        for r in lsh_bucket_dups(shingle_rows_from(chunks, "id"), "id").collect()
+    }
+    kept_ids = {r["id"] for r in out.collect()}
+    assert kept_ids.isdisjoint(dup_ids)
+    assert len(kept_ids) + len(dup_ids) == len(rows)
+
+
 def test_select_job_partial_lineage_resume_skips_done(
     spark, chunks_path, tmp_path, monkeypatch
 ):

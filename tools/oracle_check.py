@@ -49,12 +49,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    raw = sys.argv[1:]
     json_out = None
-    if "--json" in sys.argv[1:]:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-        argv.remove(json_out)
+    if "--json" in raw:
+        i = raw.index("--json")
+        if i + 1 >= len(raw) or raw[i + 1].startswith("--"):
+            print("usage: --json PATH (PATH missing)")
+            return 1
+        json_out = raw[i + 1]
+        raw = raw[:i] + raw[i + 2:]
+    flags = {a for a in raw if a.startswith("--")}
+    argv = [a for a in raw if not a.startswith("--")]
     include_extra = "--extra" in flags or "--extra-only" in flags
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])

@@ -131,7 +131,8 @@ def run_query_level(cores: int, name: str, sf_dir: str) -> dict:
 
 def _materialize_scaled_chunks(sf_dir: str, mult: int) -> str:
     """Chunk table of the ×mult bench corpus (run once, shared by levels)."""
-    out = str(REPO / "data" / f"scale_chunks_{os.path.basename(os.path.normpath(sf_dir))}_x{mult}.parquet")
+    # v2: replica fold multiplier 997 (see below); v1 tables are stale
+    out = str(REPO / "data" / f"scale_chunks_v2_{os.path.basename(os.path.normpath(sf_dir))}_x{mult}.parquet")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     sys.path.insert(0, str(REPO))
@@ -146,12 +147,19 @@ def _materialize_scaled_chunks(sf_dir: str, mult: int) -> str:
     _, chunks, _ = run_extraction(corpus, run_id="scale-prep")
     # numeric-castable doc ids: the holdout rule is doc_id % 50, and the
     # bench corpus suffixes replicas as '<id>#<rep>' — fold the rep into a
-    # distinct numeric id so every selection stage sees realistic ids
+    # distinct numeric id so every selection stage sees realistic ids.
+    # Fold multiplier must be COPRIME to DECON_EVAL_MOD (50): with the
+    # original 1000, (base*1000+rep) % 50 == rep % 50, so the eval slice
+    # degenerated to "replica #0 of EVERY base doc" — verbatim copies of
+    # all training replicas' text — and decontamination flagged
+    # essentially the whole corpus (a worst-case join, not realistic
+    # selection). 997 is prime: the eval slice is a ~1/50 spread of
+    # (base, rep) combinations.
     from pyspark.sql import functions as F
 
     chunks = chunks.withColumn(
         "doc_id",
-        (F.split("doc_id", "#")[0].cast("bigint") * 1000
+        (F.split("doc_id", "#")[0].cast("bigint") * 997
          + F.coalesce(F.split("doc_id", "#")[1].cast("bigint"), F.lit(0))
          ).cast("string"),
     )
@@ -218,9 +226,14 @@ def main() -> None:
         qi = sys.argv.index("--query")
         name = sys.argv[qi + 1]
         rest = sys.argv[1:qi] + sys.argv[qi + 2:]
+        # '[sf_dir] [N 4N]' are independently optional: a trailing int
+        # pair is the core pair whether or not sf_dir was given
+        pair = None
+        if len(rest) >= 2 and rest[-1].isdigit() and rest[-2].isdigit():
+            pair = (int(rest[-2]), int(rest[-1]))
+            rest = rest[:-2]
         sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
-        pairs = [(int(rest[1]), int(rest[2]))] if len(rest) > 2 else [(4, 16)]
-        query_mode(name, sf_dir, pairs)
+        query_mode(name, sf_dir, [pair] if pair else [(4, 16)])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 64
