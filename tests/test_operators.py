@@ -774,6 +774,31 @@ def test_pack_sequences_plan_bucketed_not_global(spark):
         assert r["seq_id"] == r["tok_offset"] // PACK_BUDGET
 
 
+def test_span_boilerplate_plan_hash_only_shuffles(spark):
+    """Corpus-level span boilerplate must shuffle only the 32-char text
+    hash (groupBy + join-back), never a cartesian and never a collect_set
+    window (which would build a d-sized set per row for a d-doc footer)."""
+    from docling_rag_spark.operators.extraction_queries import (
+        span_boilerplate_q,
+    )
+
+    plan = _formatted_plan(span_boilerplate_q(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "collect_set" not in plan
+    assert "Window" not in plan
+
+
+def test_doc_keywords_plan_topk_pruned_mapside(spark):
+    """TF-IDF keywords: the per-doc top-K must be WindowGroupLimit-pruned
+    map-side before the doc_id exchange (partial top-k per partition), and
+    the corpus-size side joins as a bounded single-row broadcast."""
+    from docling_rag_spark.operators.textstats import doc_keywords
+
+    plan = _formatted_plan(doc_keywords(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
 def test_mixture_sample_plan_no_exchange(spark):
     """Rate-based domain mixture is a pure filter: NO exchange of any kind
     in the plan (the quota-based stratified_sample pays a per-stratum
