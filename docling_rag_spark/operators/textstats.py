@@ -496,11 +496,15 @@ ORACLES["text_redact_pii"] = REDACT_PII_SQL
 # TF-IDF keyword extraction (round 5): top-K terms per document by
 # tf × ln(N/df) — the classic per-doc keyword/topic signal a corpus
 # analysis pipeline wants next to language/quality. Relational shape: one
-# (doc_id, term) count shuffle, df as a window count over the term-grouped
-# rows (one row per doc-term, NOT per token), corpus size N as a BROADCAST
-# single-row aggregate (the BM25 corpus-stats pattern — never a driver
-# action at plan-build time). Ranking orders by the ROUNDED score so
-# cross-engine ties (identical tf/df) break identically on the term.
+# (doc_id, term) count shuffle; df via groupBy("term").count() joined back
+# on term — NOT a count-over-window partitioned by term: a window
+# partition is a single task per key, so a hot term ("the" ≈ every doc)
+# would be a straggler growing linearly with the corpus, while the
+# groupBy+join-back shape is map-side-combined and AQE-skew-splittable
+# (the span_boilerplate shape, extraction_queries.py). Corpus size N is a
+# BROADCAST single-row aggregate (the BM25 corpus-stats pattern — never a
+# driver action at plan-build time). Ranking orders by the ROUNDED score
+# so cross-engine ties (identical tf/df) break identically on the term.
 # --------------------------------------------------------------------------
 K_KEYWORDS = 5
 
@@ -515,7 +519,8 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_col(F.col("text"), lower=True)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tfdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfdf = tf.join(df_by_term, "term")
     n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
     tfidf = F.round(
         F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6

@@ -381,23 +381,53 @@ MIXTURE_SAMPLE_SQL = _mixture_sample_sql()
 # to the sequence its FIRST token lands in, so chunks may straddle a cut —
 # the trainer's attention mask handles that, and no stateful best-fit scan
 # is needed). Packing runs WITHIN md5-derived buckets, not a global order:
-# a global window is one task at any scale, while per-bucket packing is
-# embarrassingly parallel and each bucket's stream is still deterministic
-# (bucket, doc_id, chunk_index). One shuffle on bucket.
+# a global window is one task at any scale; per-bucket packing is parallel
+# UP TO THE BUCKET COUNT, so the bucket count SCALES WITH INPUT SIZE —
+# ceil(n_chunks / PACK_TARGET_ROWS) buckets (floor PACK_MIN_BUCKETS), so
+# no bucket's single-task window sort ever exceeds ~PACK_TARGET_ROWS rows
+# regardless of corpus size (a fixed count would be a hard parallelism cap
+# and a straggler/OOM at 100 TB). The count rides the plan as a single-row
+# broadcast aggregate (the BM25 corpus-stats pattern — no driver action),
+# and each bucket's stream is still deterministic (bucket, doc_id,
+# chunk_index) for any fixed input. One shuffle on bucket.
 # --------------------------------------------------------------------------
 PACK_BUDGET = 512
-PACK_BUCKETS = 16
+PACK_MIN_BUCKETS = 16
+PACK_TARGET_ROWS = 1_000_000
 
 
-def pack_chunks(chunks: DataFrame) -> DataFrame:
+def pack_chunks(
+    chunks: DataFrame,
+    n_buckets: int | None = None,
+    target_rows_per_bucket: int = PACK_TARGET_ROWS,
+) -> DataFrame:
     """The packing core over ANY (id, doc_id, chunk_index, n_tokens) chunk
     frame — shared by the pack_sequences driver query and
-    jobs/select_job.py --pack (where it runs over the SELECTED subset)."""
+    jobs/select_job.py --pack (where it runs over the SELECTED subset).
+
+    `n_buckets` pins an explicit bucket count (sequence ids are a function
+    of it — pin it when replaying against a prior run's output); the
+    default derives it from the input size so per-bucket window sorts stay
+    bounded by ~`target_rows_per_bucket` rows."""
     from pyspark.sql import Window
 
-    bucket = F.pmod(
-        _hex_bigint_col(F.col("doc_id"), 6), F.lit(PACK_BUCKETS)
-    ).alias("bucket")
+    if n_buckets is not None:
+        nb_col = F.lit(int(n_buckets))
+        with_nb = chunks
+    else:
+        # no F.broadcast hint (this module bans them, pinned by test): the
+        # zero-key aggregate is ≤1 row, so the planner builds the cross
+        # join's right side as a broadcast on its own size estimate —
+        # plan-asserted BroadcastNestedLoopJoin, never a CartesianProduct
+        nb = chunks.groupBy().agg(
+            F.greatest(
+                F.lit(PACK_MIN_BUCKETS).cast("bigint"),
+                F.ceil(F.count("*") / F.lit(float(target_rows_per_bucket))),
+            ).alias("_n_buckets")
+        )
+        nb_col = F.col("_n_buckets")
+        with_nb = chunks.crossJoin(nb)
+    bucket = F.pmod(_hex_bigint_col(F.col("doc_id"), 6), nb_col).alias("bucket")
     # explicit ROWS frame: Spark's default for an ordered window is RANGE,
     # which aggregates ALL peer rows together — two rows with the same
     # (doc_id, chunk_index) (a replayed non-idempotent writer) would each
@@ -408,7 +438,7 @@ def pack_chunks(chunks: DataFrame) -> DataFrame:
         .orderBy("doc_id", "chunk_index")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_b = chunks.select("id", "doc_id", "chunk_index", "n_tokens", bucket)
+    with_b = with_nb.select("id", "doc_id", "chunk_index", "n_tokens", bucket)
     cum = F.sum("n_tokens").over(w)
     return with_b.select(
         "id",
@@ -432,12 +462,21 @@ def _pack_sequences_sql() -> str:
     from .common import hexn_to_bigint_sql
     from .extraction_queries import _CORPUS_KEY_SQL, _golden
 
-    bucket = f"{hexn_to_bigint_sql('md5(doc_id)', 6)} % {PACK_BUCKETS}"
+    bucket = f"{hexn_to_bigint_sql('md5(doc_id)', 6)} % n_buckets"
     return f"""
-with chunks as (
-  select doc_id, chunk_index, n_tokens, id, {bucket} as bucket
+with raw as (
+  select doc_id, chunk_index, n_tokens, id
   from read_parquet('{_golden("extract_chunks_golden.parquet")}')
   where corpus_key = {_CORPUS_KEY_SQL}
+),
+nb as (
+  select greatest({PACK_MIN_BUCKETS}, cast(ceil(
+    count(*) / {PACK_TARGET_ROWS}.0) as bigint)) as n_buckets
+  from raw
+),
+chunks as (
+  select doc_id, chunk_index, n_tokens, id, {bucket} as bucket
+  from raw, nb
 ),
 cum as (
   select id, doc_id, chunk_index, bucket,

@@ -18,10 +18,24 @@ Outputs under --output:
                        GPT-style concat-then-split; operators/
                        training_set.pack_chunks). Packing is a pure
                        function of the full selected table — offsets are
-                       global per bucket — so it is REGENERATED (atomic
-                       overwrite) each run rather than incrementally
-                       appended; resume-safety comes from its input being
-                       the idempotent selected_chunks table.
+                       global per bucket — so when it runs it is
+                       REGENERATED whole (atomic overwrite), never
+                       incrementally appended: a resume that appends even
+                       one doc shifts every later offset in its bucket.
+                       That full-repack cost is gated: a resume that
+                       committed ZERO new docs skips the repack entirely
+                       (the existing packed_sequences is already exactly
+                       the packing of the committed set). Resume-safety
+                       comes from its input being the idempotent
+                       selected_chunks table.
+
+--output must be a LOCAL (POSIX) filesystem path: the exactly-once
+machinery underneath (idempotent_append's existence probe, the pack swap's
+atomic rename, crash-window recovery) walks and renames with os.* — on an
+HDFS/S3 output the probe would report "empty" and silently overwrite prior
+runs, and the rename swap would fail after doing the work. For remote
+warehouses use --format iceberg against a real catalog, where MERGE INTO
+carries the idempotence instead (sources/sinks.py:35-80).
 
 Exactly-once across crashes mirrors extract_job: selected_chunks is an
 idempotent keyed append (key=id), the lineage COMMIT is written LAST — a
@@ -139,25 +153,34 @@ def main() -> None:
     # dropped by the id key
     idempotent_append(spark, lineage, lineage_dir, key=["doc_id"])
 
+    lin = spark.read.parquet(lineage_dir)
+    stats = {r["status"]: r["count"] for r in lin.groupBy("status").count().collect()}
+    this_run = lin.filter(F.col("run_id") == run_id).count()
+
     if args.pack:
         from docling_rag_spark.operators.training_set import pack_chunks
         from docling_rag_spark.sources.sinks import _recover_swap, _swap_in
 
-        committed = spark.read.parquet(
-            os.path.join(args.output, "selected_chunks")
-        )
         pack_dir = os.path.join(args.output, "packed_sequences")
-        # atomic replace via the sinks swap protocol (write .tmp, rename
-        # swap, crash windows healed on entry) — a plain mode('overwrite')
-        # deletes the target BEFORE writing, so a crash mid-pack would
-        # leave a reader facing a missing/partial table
         _recover_swap(pack_dir)
-        pack_chunks(committed).write.mode("overwrite").parquet(pack_dir + ".tmp")
-        _swap_in(pack_dir)
-
-    lin = spark.read.parquet(lineage_dir)
-    stats = {r["status"]: r["count"] for r in lin.groupBy("status").count().collect()}
-    this_run = lin.filter(F.col("run_id") == run_id).count()
+        if this_run == 0 and _has_parquet_files(pack_dir):
+            # resume committed nothing new → the existing packed_sequences
+            # is already the packing of the committed set; skip the full
+            # repack (see module docstring)
+            print(f"select_job --pack: 0 new docs, keeping {pack_dir}")
+        else:
+            committed = spark.read.parquet(
+                os.path.join(args.output, "selected_chunks")
+            )
+            # atomic replace via the sinks swap protocol (write .tmp,
+            # rename swap, crash windows healed on entry) — a plain
+            # mode('overwrite') deletes the target BEFORE writing, so a
+            # crash mid-pack would leave a reader facing a missing/partial
+            # table
+            pack_chunks(committed).write.mode("overwrite").parquet(
+                pack_dir + ".tmp"
+            )
+            _swap_in(pack_dir)
     print(
         f"select_job done run_id={run_id} docs_this_run={this_run} "
         f"lineage_total={stats}"

@@ -758,13 +758,22 @@ def test_source_fingerprint_tracks_data_changes(tmp_path):
 
 def test_pack_sequences_plan_bucketed_not_global(spark):
     """Sequence packing must run per md5-bucket: one hash Exchange on
-    bucket, and NEVER a single-partition exchange feeding the running-sum
-    window (a global packing order is one task at any scale)."""
+    bucket feeding the running-sum window, and the window sort partitioned
+    by bucket — NEVER a single-partition global packing order (one task at
+    any scale). The only SinglePartition exchange allowed is the one under
+    the single-ROW bucket-count aggregate (a zero-column count scan)."""
     from docling_rag_spark.operators.training_set import pack_sequences
 
     plan = _formatted_plan(pack_sequences(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(bucket" in plan
+    assert "Sort [bucket" in plan
+    # the 1-row bucket-count side rides in as a broadcast, not a cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the count-side SinglePartition moves ONE row; a second one would be
+    # a real global order
+    assert plan.count("Exchange SinglePartition") <= 1
     # every bucket's token stream is contiguous: offsets within (bucket,
     # seq) never exceed the budget start of the NEXT seq
     from docling_rag_spark.operators.training_set import PACK_BUDGET
@@ -772,6 +781,45 @@ def test_pack_sequences_plan_bucketed_not_global(spark):
     rows = pack_sequences(spark, SF).collect()
     for r in rows:
         assert r["seq_id"] == r["tok_offset"] // PACK_BUDGET
+
+
+def test_pack_chunks_bucket_count_scales_with_input(spark):
+    """The round-5 verdict's scale flaw: a fixed 16-bucket count caps
+    packing parallelism forever (corpus/16 rows per single-task window
+    sort at 100 TB). The bucket count must grow with the input so no
+    bucket exceeds ~target_rows_per_bucket rows, while a small input keeps
+    the PACK_MIN_BUCKETS floor (oracle output unchanged at sf0.01)."""
+    from docling_rag_spark.operators.training_set import (
+        PACK_MIN_BUCKETS,
+        pack_chunks,
+    )
+
+    n, target = 2000, 50
+    chunks = spark.range(n).selectExpr(
+        "md5(concat('chunk-', id)) as id",
+        "concat('doc-', cast(id % 400 as string)) as doc_id",
+        "cast(id / 400 as int) as chunk_index",
+        "cast(id % 97 + 1 as int) as n_tokens",
+    )
+    packed = pack_chunks(chunks, target_rows_per_bucket=target)
+    per_bucket = {
+        r["bucket"]: r["cnt"]
+        for r in packed.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    # ceil(2000/50) = 40 buckets > the 16 floor; md5 spreads uniformly so
+    # no bucket holds more than ~2x the target (hash variance bound)
+    expected_buckets = -(-n // target)
+    assert expected_buckets > PACK_MIN_BUCKETS
+    assert len(per_bucket) > PACK_MIN_BUCKETS
+    assert max(per_bucket.values()) <= 2 * target
+    # the floor path: a tiny input still gets PACK_MIN_BUCKETS-modular ids
+    tiny = pack_chunks(chunks.limit(10))
+    assert all(r["bucket"] < PACK_MIN_BUCKETS for r in tiny.collect())
+    # pinning n_buckets explicitly reproduces the derived bucketing
+    pinned = pack_chunks(chunks, n_buckets=expected_buckets)
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
 
 
 def test_span_boilerplate_plan_hash_only_shuffles(spark):
@@ -791,12 +839,21 @@ def test_span_boilerplate_plan_hash_only_shuffles(spark):
 def test_doc_keywords_plan_topk_pruned_mapside(spark):
     """TF-IDF keywords: the per-doc top-K must be WindowGroupLimit-pruned
     map-side before the doc_id exchange (partial top-k per partition), and
-    the corpus-size side joins as a bounded single-row broadcast."""
+    the corpus-size side joins as a bounded single-row broadcast. The df
+    side must be a groupBy+join-back on term — NEVER a count-over-window
+    partitioned by term (a window partition is one task per key, so a hot
+    term like "the" would be a corpus-linear straggler); the only Window
+    node allowed in the plan is the per-doc top-k ranking."""
+    import re
+
     from docling_rag_spark.operators.textstats import doc_keywords
 
     plan = _formatted_plan(doc_keywords(spark, SF))
     assert plan.count("WindowGroupLimit") >= 2  # partial + final
     assert "CartesianProduct" not in plan
+    window_nodes = re.findall(r"\bWindow \[", plan)
+    assert len(window_nodes) == 1, plan
+    assert "windowspecdefinition(term" not in plan.lower()
 
 
 def test_mixture_sample_plan_no_exchange(spark):

@@ -121,6 +121,22 @@ def test_select_job_kill_and_resume(spark, chunks_path, tmp_path, monkeypatch):
         offs = [r["tok_offset"] for r in members]
         assert offs == sorted(offs) and len(set(offs)) == len(offs)
 
+    # ---- --pack on a resume that commits ZERO new docs must NOT repack:
+    # the existing packed_sequences is already the packing of the
+    # committed set (round-5 verdict wrong#3 — full repack was paid on
+    # every no-op resume)
+    before = {
+        p: os.stat(os.path.join(f"{out}/packed_sequences", p)).st_mtime_ns
+        for p in os.listdir(f"{out}/packed_sequences")
+    }
+    _run_job(monkeypatch, spark, ["--input", chunks_path, "--output", out,
+                                  "--resume", "--pack", "--run-id", "repack"])
+    after = {
+        p: os.stat(os.path.join(f"{out}/packed_sequences", p)).st_mtime_ns
+        for p in os.listdir(f"{out}/packed_sequences")
+    }
+    assert after == before  # untouched, byte-for-byte the same files
+
 
 def test_non_numeric_doc_ids_are_not_silently_dropped(spark):
     """Round-5 review: a NULL holdout predicate (non-numeric doc_id casts

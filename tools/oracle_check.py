@@ -107,8 +107,13 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
+            # no oracle SQL → nothing was compared; record mode=rows-only
+            # with rows_match=None so the committed evidence JSON cannot
+            # overstate "returned rows" as "rows matched oracle"
             print(f"ok   {name}: rows-only, {len(got)} rows ({time.time()-t0:.1f}s)")
-            record(name, spark_rows=len(got), rows=len(got) > 0)
+            record(name, spark_rows=len(got), rows=None)
+            report[name]["mode"] = "rows-only"
+            report[name]["returned_rows"] = len(got) > 0
             if len(got) == 0:
                 print(f"WARN {name}: 0 rows")
             continue
