@@ -105,10 +105,19 @@ def band_sigs(sh: DataFrame, id_col: str) -> DataFrame:
     there is silent data loss — at 10^12 docs, catastrophic. Full-width
     per-band salted digests make collisions ~2^-128 (never).
     tests/test_operators.py::test_lsh_bucket_dups_planted_mega_bucket
-    pins this (uniform control must produce ZERO dups)."""
+    pins this (uniform control must produce ZERO dups).
+
+    ENCODING is a perf knob though (round-5 verdict #4): the sig shuffles
+    as the 16-BYTE binary digest, not the 32-char hex string — half the
+    payload on every sig shuffle (the groupBy partials, the bucket-minima
+    shuffle, the banded self-join) at identical 128-bit width. unhex is
+    order-preserving over md5 hex (fixed 32 chars, digits 0-9a-f ascending
+    in ASCII == ascending byte nibbles), so min-over-binary picks the same
+    sig and bucket equality is unchanged — the DuckDB oracles keep
+    comparing hex strings and the id/count outputs match bit-for-bit."""
     band_aggs = [
         F.min(
-            F.md5(F.concat_ws("|", F.lit(str(b)), F.col("shingle")))
+            F.unhex(F.md5(F.concat_ws("|", F.lit(str(b)), F.col("shingle"))))
         ).alias(f"s{b}")
         for b in range(NUM_BANDS)
     ]
@@ -238,6 +247,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
+    # shuffle the shingle as its 16-byte md5 digest, not the raw n-gram
+    # text (~20-40 bytes avg): the digest is computed map-side and is the
+    # ONLY thing the df window, the self-join, and the per-doc sizes need —
+    # counts/equality are identical at 2^-128 collision odds, and the
+    # oracle (raw-string joins) matches because the output carries only
+    # ids and counts (round-5 verdict #4)
+    shingle_rows = shingle_rows.select(
+        "doc_id", F.unhex(F.md5("shingle")).alias("shingle")
+    )
     # document frequency via a window count — ONE shuffle on shingle, which
     # also pre-partitions both self-join sides (no join-back needed)
     sh_df = (
@@ -628,12 +646,14 @@ def exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens_col(F.col("text"), lower=True).alias("toks")
     )
     w = EXSUB_WINDOW
+    # 16-byte binary digests on the window-hash shuffle (not 32-char hex:
+    # half the payload, same 128-bit identity; g never leaves this plan)
     gram_expr = F.when(
-        F.size("toks") < w, F.array().cast("array<string>")
+        F.size("toks") < w, F.array().cast("array<binary>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size("toks") - w),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, w))),
+            lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("toks", i + 1, w)))),
         )
     )
     grams = toks.select("doc_id", F.explode(gram_expr).alias("g"))

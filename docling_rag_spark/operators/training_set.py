@@ -133,8 +133,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_rows_from
 
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_rows_from(docs, "doc_id", n=DECON_NGRAM).withColumnRenamed(
-        "shingle", "g"
+    # the join/distinct key is the 16-byte md5 of the 13-gram, never the
+    # raw ~90-char string: computed map-side, it cuts the distinct and
+    # semi-join shuffle payload ~6× at identical match semantics (2^-128
+    # false-collision odds; countDistinct over digests == over grams).
+    # The oracle joins raw strings — outputs are ids+counts, identical.
+    sh = shingle_rows_from(docs, "doc_id", n=DECON_NGRAM).select(
+        "doc_id", F.unhex(F.md5("shingle")).alias("g")
     )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     eval_grams = sh.filter(is_eval).select("g").distinct()
@@ -214,14 +219,16 @@ def select_training_chunks(chunks: DataFrame) -> DataFrame:
     dups = lsh_bucket_dups(shingle_rows_from(chunks, "id"), "id")
     # eval/train gram rows via staged-token shingling (shingle_rows_from:
     # inlined shingles_col re-runs the tokenizer per slice element, 14×)
+    # gram keys shuffle as 16-byte digests, not raw 13-gram strings (~6×
+    # smaller distinct/semi-join payload — see decontaminate)
     eval_grams = (
         shingle_rows_from(chunks.filter(is_eval), "id", n=DECON_NGRAM)
-        .select(F.col("shingle").alias("g"))
+        .select(F.unhex(F.md5("shingle")).alias("g"))
         .distinct()
     )
     contaminated = (
         shingle_rows_from(chunks.filter(~is_eval), "id", n=DECON_NGRAM)
-        .withColumnRenamed("shingle", "g")
+        .select("id", F.unhex(F.md5("shingle")).alias("g"))
         .join(eval_grams, "g")
         .select("id")
         .distinct()

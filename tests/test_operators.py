@@ -717,6 +717,10 @@ def test_gc_stale_artifacts_scoping(tmp_path):
         "pre_dead_sf0.01_fA.parquet",  # other spec tag → deleted
         "pre_s1_sf0.1_fA.parquet",     # other sf tag → untouched
         "prefix2_s1_sf0.01_fA.parquet",  # other prefix → untouched
+        # same spec, STALE extra_tag (round-5 advice): dead/unreadable —
+        # deleted even though newer than every same-tag sibling, and must
+        # NOT occupy a keep_recent slot (fB below survives despite it)
+        "pre_s1_xOLD_sf0.01_fA.parquet",
     ]
     now = time.time()
     for i, n in enumerate(names):
@@ -730,6 +734,16 @@ def test_gc_stale_artifacts_scoping(tmp_path):
         "pre_s1_sf0.1_fA.parquet",
         "prefix2_s1_sf0.01_fA.parquet",
     }
+    # and with an extra-tagged keep_basename, a bare-spec sibling is the
+    # stale one
+    for n in ("pre_s1_xNEW_sf0.01_fA.parquet", "pre_s1_sf0.01_fZ.parquet"):
+        (tmp_path / n).mkdir()
+    _gc_stale_artifacts(
+        str(tmp_path), "pre", "sf0.01", "pre_s1_xNEW_sf0.01_fA.parquet"
+    )
+    left = {p.name for p in tmp_path.iterdir()}
+    assert "pre_s1_xNEW_sf0.01_fA.parquet" in left
+    assert "pre_s1_sf0.01_fZ.parquet" not in left
 
 
 def test_source_fingerprint_tracks_data_changes(tmp_path):

@@ -224,6 +224,8 @@ def _burn(_: int) -> int:
 def main() -> None:
     if "--query" in sys.argv:
         qi = sys.argv.index("--query")
+        if qi + 1 >= len(sys.argv):
+            sys.exit("usage: scaling_bench.py --query NAME [sf_dir] [N 4N]")
         name = sys.argv[qi + 1]
         rest = sys.argv[1:qi] + sys.argv[qi + 2:]
         # '[sf_dir] [N 4N]' are independently optional: a trailing int
@@ -232,6 +234,11 @@ def main() -> None:
         if len(rest) >= 2 and rest[-1].isdigit() and rest[-2].isdigit():
             pair = (int(rest[-2]), int(rest[-1]))
             rest = rest[:-2]
+        if rest and rest[-1].isdigit():
+            sys.exit(
+                "half-specified core pair: give BOTH levels (e.g. 4 16), "
+                f"got a single trailing integer {rest[-1]!r}"
+            )
         sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
         query_mode(name, sf_dir, [pair] if pair else [(4, 16)])
         return
