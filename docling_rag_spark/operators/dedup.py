@@ -461,16 +461,21 @@ QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
-    "dedup_simhash": simhash_docs,
     "dedup_simhash_pairs": simhash_pairs,
 }
 ORACLES = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
-    "dedup_simhash": SIMHASH_SQL,
     "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
 }
+# dedup_simhash (per-doc signatures) retired to the extended registry
+# (round-6 rotation): dedup_simhash_pairs computes the SAME 32 parallel
+# bit-sum signatures and goes further (banded hamming pairs), so the plan
+# family stays contract-gated; the freed slot exposes doc_keywords
+# (TF-IDF — previously the only extended op with no contract sibling).
+EXTRA_QUERIES = {"dedup_simhash": simhash_docs}
+EXTRA_ORACLES = {"dedup_simhash": SIMHASH_SQL}
 
 
 # --------------------------------------------------------------------------

@@ -557,5 +557,7 @@ select doc_id, term, tf, tfidf, rk from (
 ) where rk <= {K_KEYWORDS}
 """
 
-EXTRA_QUERIES = {"doc_keywords": doc_keywords}
-EXTRA_ORACLES = {"doc_keywords": DOC_KEYWORDS_SQL}
+# doc_keywords promoted into the 50-slot driver contract (round-6
+# rotation, swapping with dedup_simhash — see dedup.py registry note)
+QUERIES["doc_keywords"] = doc_keywords
+ORACLES["doc_keywords"] = DOC_KEYWORDS_SQL
