@@ -40,11 +40,18 @@ SIMHASH_BITS = 32
 # --------------------------------------------------------------------------
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # group on the 16-byte binary digest (half the shuffle key payload of
+    # the hex string); re-encode to the reference lowercase-hex form only
+    # in the final projection (F.hex emits uppercase — lower() restores
+    # md5()'s encoding so the oracle matches byte-for-byte)
     return (
-        docs.groupBy(F.md5("text").alias("text_hash"))
+        docs.groupBy(F.unhex(F.md5("text")).alias("h"))
         .agg(
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("keep_doc_id"),
+        )
+        .select(
+            F.lower(F.hex("h")).alias("text_hash"), "n_copies", "keep_doc_id"
         )
     )
 
