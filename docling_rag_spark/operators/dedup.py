@@ -8,7 +8,7 @@ can reproduce values bit-for-bit (see functions/duckdb_sql.py).
 Scale notes (100 TB):
 - exact dedup: one shuffle on md5(text) — the minimal possible.
 - minhash/jaccard: shingle explosion is narrow; the band-signature groupBy
-  and the candidate self-join shuffle only (doc_id, 32-char hash) pairs,
+  and the candidate self-join shuffle only (doc_id, 16-byte digest) pairs,
   never the text. The self-join key (band, signature) is exactly the LSH
   bucketing that keeps candidate pairs ~linear instead of O(n²).
 - simhash: explode(tokens)×32 bit positions is wide but all codegen;
@@ -641,7 +641,7 @@ ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL
 # token window whose exact text occurs >=2 times corpus-wide, and report
 # the per-document repeated-window fraction (the removal step's input).
 # Relational shape: window-hash explode (md5 of the joined window — the
-# 32-char hash shuffles, never the text) → ONE shuffle on the hash for a
+# 16-byte digest shuffles, never the text) → ONE shuffle on the hash for a
 # corpus-wide occurrence count (window function; no self-join, so a hot
 # boilerplate window costs partition imbalance, not quadratic rows) →
 # per-doc rollup. Lee et al. use 50-token windows; 16 here because the

@@ -434,7 +434,14 @@ def pack_chunks(
         )
         nb_col = F.col("_n_buckets")
         with_nb = chunks.crossJoin(nb)
-    bucket = F.pmod(_hex_bigint_col(F.col("doc_id"), 6), nb_col).alias("bucket")
+    # 15 hex chars (60 bits) of the doc digest, not 6 (2^24 would silently
+    # cap the derived bucket count — empty buckets past 16.7M at extreme
+    # scale). Bucketing is per-DOC by design (a doc's chunks stay
+    # contiguous in its bucket's stream — the GPT-style packing order);
+    # the per-bucket row bound therefore assumes max-chunks-per-doc ≪
+    # target_rows_per_bucket, which the chunker's fixed token budget makes
+    # true for any non-pathological document.
+    bucket = F.pmod(_hex_bigint_col(F.col("doc_id"), 15), nb_col).alias("bucket")
     # explicit ROWS frame: Spark's default for an ordered window is RANGE,
     # which aggregates ALL peer rows together — two rows with the same
     # (doc_id, chunk_index) (a replayed non-idempotent writer) would each
@@ -469,7 +476,7 @@ def _pack_sequences_sql() -> str:
     from .common import hexn_to_bigint_sql
     from .extraction_queries import _CORPUS_KEY_SQL, _golden
 
-    bucket = f"{hexn_to_bigint_sql('md5(doc_id)', 6)} % n_buckets"
+    bucket = f"{hexn_to_bigint_sql('md5(doc_id)', 15)} % n_buckets"
     return f"""
 with raw as (
   select doc_id, chunk_index, n_tokens, id

@@ -23,10 +23,15 @@ Outputs under --output:
                        incrementally appended: a resume that appends even
                        one doc shifts every later offset in its bucket.
                        That full-repack cost is gated: a resume that
-                       committed ZERO new docs skips the repack entirely
-                       (the existing packed_sequences is already exactly
-                       the packing of the committed set). Resume-safety
-                       comes from its input being the idempotent
+                       committed ZERO new docs AND whose existing pack
+                       carries a _PACKED_N marker equal to the committed
+                       selected_chunks row count skips the repack (count
+                       equality ⇒ identical set, since the table only
+                       grows via keyed appends; the marker ships inside
+                       the atomic swap, so a crash between the lineage
+                       commit and the pack swap leaves a stale count and
+                       forces the healing repack). Resume-safety comes
+                       from its input being the idempotent
                        selected_chunks table.
 
 --output must be a LOCAL (POSIX) filesystem path: the exactly-once
@@ -162,24 +167,42 @@ def main() -> None:
         from docling_rag_spark.sources.sinks import _recover_swap, _swap_in
 
         pack_dir = os.path.join(args.output, "packed_sequences")
+        marker = os.path.join(pack_dir, "_PACKED_N")
         _recover_swap(pack_dir)
-        if this_run == 0 and _has_parquet_files(pack_dir):
-            # resume committed nothing new → the existing packed_sequences
-            # is already the packing of the committed set; skip the full
-            # repack (see module docstring)
-            print(f"select_job --pack: 0 new docs, keeping {pack_dir}")
-        else:
-            committed = spark.read.parquet(
-                os.path.join(args.output, "selected_chunks")
+        committed = spark.read.parquet(
+            os.path.join(args.output, "selected_chunks")
+        )
+        n_committed = committed.count()
+        # skip the full repack ONLY when the existing pack provably covers
+        # the committed set: the _PACKED_N marker (written atomically with
+        # the pack via the swap) records the selected_chunks row count the
+        # pack was generated from. selected_chunks only grows (idempotent
+        # keyed append), so count equality ⇒ identical set. `this_run == 0`
+        # alone is NOT sufficient: a crash between the lineage commit and
+        # the pack swap leaves every doc in lineage (next resume sees 0 new
+        # docs) while packed_sequences still reflects the PREVIOUS commit —
+        # the marker mismatch forces the repack that heals that window.
+        packed_n = None
+        if _has_parquet_files(pack_dir) and os.path.isfile(marker):
+            with open(marker) as fh:
+                packed_n = int(fh.read().strip() or "-1")
+        if this_run == 0 and packed_n == n_committed:
+            print(
+                f"select_job --pack: committed set unchanged "
+                f"({n_committed} rows), keeping {pack_dir}"
             )
+        else:
             # atomic replace via the sinks swap protocol (write .tmp,
             # rename swap, crash windows healed on entry) — a plain
             # mode('overwrite') deletes the target BEFORE writing, so a
             # crash mid-pack would leave a reader facing a missing/partial
-            # table
+            # table. The marker is written INTO .tmp so it arrives with
+            # the same rename that publishes the pack.
             pack_chunks(committed).write.mode("overwrite").parquet(
                 pack_dir + ".tmp"
             )
+            with open(os.path.join(pack_dir + ".tmp", "_PACKED_N"), "w") as fh:
+                fh.write(str(n_committed))
             _swap_in(pack_dir)
     print(
         f"select_job done run_id={run_id} docs_this_run={this_run} "

@@ -837,8 +837,8 @@ def test_pack_chunks_bucket_count_scales_with_input(spark):
 
 
 def test_span_boilerplate_plan_hash_only_shuffles(spark):
-    """Corpus-level span boilerplate must shuffle only the 32-char text
-    hash (groupBy + join-back), never a cartesian and never a collect_set
+    """Corpus-level span boilerplate must shuffle only the 16-byte text
+    digest (groupBy + join-back), never a cartesian and never a collect_set
     window (which would build a d-sized set per row for a d-doc footer)."""
     from docling_rag_spark.operators.extraction_queries import (
         span_boilerplate_q,

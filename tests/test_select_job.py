@@ -137,6 +137,39 @@ def test_select_job_kill_and_resume(spark, chunks_path, tmp_path, monkeypatch):
     }
     assert after == before  # untouched, byte-for-byte the same files
 
+    # ---- the crash window the skip gate must NOT mask (round-6 review):
+    # docs get committed + lineage'd but the job dies BEFORE the pack
+    # swap. The next resume sees 0 new docs — yet packed_sequences still
+    # reflects the PREVIOUS commit. Simulate by growing selected_chunks
+    # via a resume run WITHOUT --pack (equivalent end state), then
+    # resuming with --pack: the _PACKED_N marker mismatch must force the
+    # repack even though this_run == 0.
+    extra = spark.createDataFrame(
+        [("501", build_spans(  # 501 % 50 != 0 — a training doc, not holdout
+            "501",
+            "the river keeps the old town lights on and the doors open "
+            "stories of number five hundred and one flow on and on",
+        ))],
+        schema=DOCUMENTS_SPANS_SCHEMA,
+    )
+    _, extra_chunks, _ = run_extraction(extra, run_id="mk-extra")
+    grown = str(tmp_path / "chunks_grown.parquet")
+    spark.read.parquet(chunks_path).unionByName(extra_chunks).write.parquet(grown)
+    _run_job(monkeypatch, spark, ["--input", grown, "--output", out,
+                                  "--resume", "--run-id", "grow"])  # no --pack
+    sel_ids = {
+        r["id"]
+        for r in spark.read.parquet(f"{out}/selected_chunks").select("id").collect()
+    }
+    assert sel_ids > ref_ids  # the committed set actually grew
+    _run_job(monkeypatch, spark, ["--input", grown, "--output", out,
+                                  "--resume", "--pack", "--run-id", "heal"])
+    packed_ids = {
+        r["id"]
+        for r in spark.read.parquet(f"{out}/packed_sequences").select("id").collect()
+    }
+    assert packed_ids == sel_ids  # repacked despite this_run == 0
+
 
 def test_non_numeric_doc_ids_are_not_silently_dropped(spark):
     """Round-5 review: a NULL holdout predicate (non-numeric doc_id casts

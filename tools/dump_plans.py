@@ -54,7 +54,7 @@ COMMENT = {
     ),
     "dedup_minhash_lsh": (
         "MinHash LSH: shingle Generate is narrow; band signatures groupBy "
-        "shuffles only (doc_id, band, 32-char hash); the bucket self-join "
+        "shuffles only (doc_id, band, 16-byte binary digest); the bucket self-join "
         "joins on (band, sig) — the LSH prefilter that keeps pairs ~linear."
     ),
     "resume_filter": (
