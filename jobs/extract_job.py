@@ -14,6 +14,12 @@ Outputs under --output:
 
 --resume anti-joins the existing lineage (status=processed) so a killed run
 re-does only unfinished documents (E16, reference postgres.py:253-262).
+
+--output must be a LOCAL (POSIX) filesystem path: the exactly-once
+machinery (idempotent_append existence probe, _reingest_pending marker,
+rename-based swap recovery) uses os.* — on HDFS/S3 the probe reports
+"empty" and silently overwrites prior runs. For remote warehouses use
+--format iceberg against a real catalog (MERGE INTO carries idempotence).
 """
 
 from __future__ import annotations
