@@ -54,6 +54,7 @@ HEADLINE = [
     "training_subset_chunks",
     "pack_sequences",
     "span_boilerplate",
+    "span_intra_dedup",
     "doc_keywords",
     "pricing_summary",
     "revenue_by_nation",

@@ -850,6 +850,29 @@ def test_span_boilerplate_plan_hash_only_shuffles(spark):
     assert "Window" not in plan
 
 
+def test_span_intra_dedup_plan_single_shared_shuffle(spark):
+    """Intra-doc repetition removal must join on (doc_id, digest) ONLY —
+    the keep-first predicate stays a residual `order <= min_order`
+    condition, never a third equi-key (which would re-partition both
+    sides on three keys once the min table outgrows broadcast). One hash
+    exchange (the groupBy, reused by the join), no Window, no cartesian."""
+    import re
+
+    from docling_rag_spark.operators.extraction_queries import (
+        span_intra_dedup_q,
+    )
+
+    plan = _formatted_plan(span_intra_dedup_q(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"\bWindow \[", plan)
+    # no join carries order/min_order as an equi-key
+    for line in plan.splitlines():
+        if "Join [" in line:
+            keys = line.split("Join [", 1)[1].split("]", 1)[0]
+            assert "order" not in keys, line
+
+
 def test_doc_keywords_plan_topk_pruned_mapside(spark):
     """TF-IDF keywords: the per-doc top-K must be WindowGroupLimit-pruned
     map-side before the doc_id exchange (partial top-k per partition), and
