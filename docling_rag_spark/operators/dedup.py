@@ -252,31 +252,50 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
     # shuffle the shingle as its 16-byte md5 digest, not the raw n-gram
     # text (~20-40 bytes avg): the digest is computed map-side and is the
-    # ONLY thing the df window, the self-join, and the per-doc sizes need —
-    # counts/equality are identical at 2^-128 collision odds, and the
-    # oracle (raw-string joins) matches because the output carries only
-    # ids and counts (round-5 verdict #4)
+    # ONLY thing the df computation, the self-join, and the per-doc sizes
+    # need — counts/equality are identical at 2^-128 collision odds, and
+    # the oracle (raw-string joins) matches because the output carries
+    # only ids and counts (round-5 verdict #4)
     shingle_rows = shingle_rows.select(
         "doc_id", F.unhex(F.md5("shingle")).alias("shingle")
     )
-    # document frequency via a window count — ONE shuffle on shingle, which
-    # also pre-partitions both self-join sides (no join-back needed)
-    sh_df = (
-        shingle_rows.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        )
-        # cached UNCAPPED (df attached): referenced three times below —
-        # uncapped sizes + both (capped) self-join sides; uncached, the
-        # shingle generation executes three times per job; released when
-        # the caller drops the result (scoped_cache)
+    # cached: referenced four times below (df agg, anti-join probe,
+    # uncapped sizes — and the self-join reads the capped derivative
+    # twice); released when the caller drops the result (scoped_cache)
+    shingle_rows = shingle_rows.cache()
+    # Hot-shingle removal via ANTI-JOIN against the tiny over-cap list —
+    # round 6, replacing df-as-count-over-window: a window partitioned by
+    # shingle puts EVERY copy of a boilerplate shingle in one task (the
+    # exact key the cap exists to tame becomes a single-task straggler
+    # BEFORE the cap can drop it, and a window cannot be skew-split). The
+    # groupBy is map-side combined — a hot shingle reaches the reducer as
+    # one partial row PER MAP TASK, never as raw rows — and the over-cap
+    # list is bounded by n_rows/CAP distinct values, so AQE broadcasts the
+    # anti-join side and the full row set never shuffles for df at all.
+    # The self-join downstream then only ever shuffles capped keys
+    # (bucket size ≤ CAP, AQE-skew-splittable). Measured cost at sf0.1:
+    # ~2.0→2.5s (one more scan of the cached rows) — bought: no
+    # unbounded single-task sort anywhere in the plan at any corpus size.
+    hot = (
+        shingle_rows.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sizes = shingle_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # capped rows repartitioned ONCE on shingle and cached: the self-join
+    # reads this frame on both sides with no further exchange (the window
+    # form got the same property from its sort-for-window — this keeps it
+    # without the sort). Skew-safe by construction: every surviving
+    # shingle has ≤ CAP rows, so no partition hot-spots regardless of
+    # corpus size.
+    sh = (
+        shingle_rows.join(hot, "shingle", "left_anti")
+        .repartition("shingle")
         .cache()
     )
-    sizes = sh_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh = sh_df.filter(F.col("df") <= HOT_SHINGLE_DF_CAP).drop("df")
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(
@@ -303,7 +322,7 @@ def _ngram_jaccard_from_shingles(shingle_rows: DataFrame) -> DataFrame:
     )
     from .common import scoped_cache
 
-    return scoped_cache(out, sh_df)
+    return scoped_cache(out, shingle_rows, sh)
 
 
 NGRAM_JACCARD_SQL = f"""

@@ -144,7 +144,15 @@ def test_hybrid_fallback_to_vector_only(spark):
 def test_ngram_jaccard_hot_shingle_bounded(spark):
     """A shingle planted in EVERY doc must not produce quadratic pairs: the
     df-cap drops it before the self-join, so docs related ONLY through the
-    hot shingle never pair, while rare-shingle duplicates still do."""
+    hot shingle never pair, while rare-shingle duplicates still do.
+
+    Round 6 also pins the cap's PLAN shape: hot rows are removed by a
+    LEFT-ANTI join against the tiny over-cap list — never a
+    count-over-window partitioned by shingle, which would funnel every
+    copy of the hot key into ONE task (unbounded, un-skew-splittable)
+    before the cap could drop it."""
+    import re
+
     from docling_rag_spark.operators.dedup import (
         HOT_SHINGLE_DF_CAP,
         _ngram_jaccard_from_shingles,
@@ -158,11 +166,15 @@ def test_ngram_jaccard_hot_shingle_bounded(spark):
     # one true duplicate pair sharing only sub-cap shingles
     rows += [(n, "rare a x"), (n, "rare b x"), (n + 1, "rare a x"), (n + 1, "rare b x")]
     sh = spark.createDataFrame(rows, "doc_id long, shingle string")
-    out = _ngram_jaccard_from_shingles(sh).collect()
+    result = _ngram_jaccard_from_shingles(sh)
+    out = result.collect()
     assert all(r["doc_a"] >= n for r in out), "hot-shingle-only pairs leaked"
     assert any(
         r["doc_a"] == n and r["doc_b"] == n + 1 and r["jaccard"] == 1.0 for r in out
     )
+    plan = _formatted_plan(result)
+    assert not re.findall(r"\bWindow \[", plan)
+    assert "LeftAnti" in plan
 
 
 def test_embedding_lsh_buckets_scale_with_n():
