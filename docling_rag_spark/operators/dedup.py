@@ -670,15 +670,23 @@ EXSUB_WINDOW = 16
 
 
 def exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # Round-6 re-shape, removing the last window-partitioned-by-content
+    # key in the dedup suite (count(*) over (partition by g) put every
+    # copy of a hot boilerplate window into ONE un-splittable task).
+    # Algebra: n_repeated(doc) = n_windows(doc) − n_unique(doc), where
+    #  - a gram with GLOBAL count c == 1 is by definition owned by exactly
+    #    one row, so min(doc_id) of its group IS that row's doc — one
+    #    map-side-combined groupBy(g) yields (c, owner) and a hot gram
+    #    reaches the reducer as one partial per map task, never as rows;
+    #  - n_windows(doc) = max(0, n_tokens − w + 1) directly from the token
+    #    array — no second explode, no per-row join-back.
+    # ONE gram generation, ONE gram-keyed shuffle (combined partials), no
+    # window, no sort; g shuffles as the 16-byte binary digest.
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokens_col(F.col("text"), lower=True).alias("toks")
     )
     w = EXSUB_WINDOW
-    # 16-byte binary digests on the window-hash shuffle (not 32-char hex:
-    # half the payload, same 128-bit identity; g never leaves this plan)
     gram_expr = F.when(
         F.size("toks") < w, F.array().cast("array<binary>")
     ).otherwise(
@@ -688,22 +696,29 @@ def exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grams = toks.select("doc_id", F.explode(gram_expr).alias("g"))
-    marked = grams.withColumn("c", F.count("*").over(Window.partitionBy("g")))
-    per_doc = marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows"),
-        F.sum((F.col("c") > 1).cast("long")).alias("n_repeated"),
+    gstats = grams.groupBy("g").agg(
+        F.count("*").alias("c"), F.min("doc_id").alias("owner")
     )
+    uniq = (
+        gstats.filter(F.col("c") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").alias("n_unique"))
+    )
+    n_windows = F.greatest(F.lit(0), F.size("toks") - w + 1).cast("long")
     return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        toks.select("doc_id", n_windows.alias("n_windows"))
+        .join(uniq, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            "n_windows",
+            (F.col("n_windows") - F.coalesce("n_unique", F.lit(0))).alias(
+                "n_repeated"
+            ),
             F.round(
-                F.when(
-                    F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0)
-                ).otherwise(F.col("n_repeated") / F.col("n_windows")),
+                F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+                    (F.col("n_windows") - F.coalesce("n_unique", F.lit(0)))
+                    / F.col("n_windows")
+                ),
                 6,
             ).alias("repeated_frac"),
         )
