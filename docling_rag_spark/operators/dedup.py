@@ -754,3 +754,93 @@ left join per_doc p using (doc_id)
 
 QUERIES["dedup_exact_substring"] = exact_substring_stats
 ORACLES["dedup_exact_substring"] = EXACT_SUBSTRING_SQL
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: today's crawl batch against the already-committed
+# corpus. The production recurring shape — a daily batch must be deduped
+# against 10^12 existing docs WITHOUT touching corpus text: the corpus
+# keeps a persisted (band, sig) signature index (exactly like the IVF
+# artifact; here both sides derive from one table and a deterministic
+# batch predicate stands in for "today's files"). Batch sigs join the
+# index on (band, sig) — cost scales with the BATCH, never corpus×corpus,
+# and corpus-internal duplicate pairs are never generated. Reference
+# analog: is_file_modified + document_exists re-ingest gating
+# (src/storage/postgres.py:253-262) decides new-vs-known per arriving doc
+# against committed state.
+# --------------------------------------------------------------------------
+INC_BATCH_MOD = 10
+INC_BATCH_REM = 3
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each batch doc (doc_id % INC_BATCH_MOD == INC_BATCH_REM): the
+    committed-corpus docs sharing >=1 LSH band signature — n_corpus_matches
+    plus the smallest matching corpus doc (the canonical id an ON-CONFLICT
+    append would dedup against). Batch docs with no collision (genuinely
+    new content) carry a zero count, because the consumer is a WRITE gate:
+    every arriving doc needs a verdict, not just the duplicates.
+
+    Plan: ONE shingle+min-agg pass produces all sigs (cached — two filter
+    branches); the batch side joins the corpus side on (band, sig), both
+    16-byte binary digests. A boilerplate-heavy sig bucket is
+    AQE-skew-splittable equi-join load, bounded by batch_bucket ×
+    corpus_bucket — at production scale the corpus side is the persisted
+    index read, and recomputation is only ever batch-sized."""
+    sigs = band_sigs(_shingle_rows(spark, sf_dir), "doc_id").cache()
+    is_batch = F.col("doc_id") % INC_BATCH_MOD == INC_BATCH_REM
+    batch = sigs.filter(is_batch)
+    corpus = sigs.filter(~is_batch).select(
+        "band", "sig", F.col("doc_id").alias("corpus_doc")
+    )
+    hits = (
+        batch.join(corpus, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("corpus_doc").alias("n_corpus_matches"),
+            F.min("corpus_doc").alias("min_match_doc"),
+        )
+    )
+    batch_docs = sigs.filter(is_batch).select("doc_id").distinct()
+    out = (
+        batch_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+            "min_match_doc",
+        )
+    )
+    from .common import scoped_cache
+
+    return scoped_cache(out, sigs)
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+with sh as (
+  select doc_id, unnest({shingles_sql('text')}) as shingle from documents
+),
+sigs as (
+  select doc_id, band, min(md5(band::varchar || '|' || shingle)) as sig
+  from sh, unnest(range(0, {NUM_BANDS})) as t(band)
+  group by doc_id, band
+),
+hits as (
+  select b.doc_id,
+         count(distinct c.doc_id) as n_corpus_matches,
+         min(c.doc_id) as min_match_doc
+  from sigs b join sigs c
+    on b.band = c.band and b.sig = c.sig
+   and b.doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+   and c.doc_id % {INC_BATCH_MOD} != {INC_BATCH_REM}
+  group by b.doc_id
+)
+select d.doc_id,
+       coalesce(h.n_corpus_matches, 0) as n_corpus_matches,
+       h.min_match_doc
+from (select distinct doc_id from sigs
+      where doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}) d
+left join hits h using (doc_id)
+"""
+
+EXTRA_QUERIES["dedup_incremental"] = incremental_dedup
+EXTRA_ORACLES["dedup_incremental"] = INCREMENTAL_DEDUP_SQL

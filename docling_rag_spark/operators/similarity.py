@@ -624,7 +624,10 @@ def _seed_sql_parts() -> list[str]:
     return parts
 
 
-def _knn_ivf_sql(nprobe: int = 1) -> str:
+def _trained_assign_parts() -> tuple[list[str], str]:
+    """Shared static-SQL replay of _train_centroids + final assignment:
+    the seed chain, KMEANS_ITERS assign/mean rounds, and a final ``assigned``
+    CTE. Returns (cte_parts, name_of_final_centroid_cte)."""
     parts = _seed_sql_parts()
     prev = "c0"
     for it in range(1, KMEANS_ITERS + 1):
@@ -632,6 +635,11 @@ def _knn_ivf_sql(nprobe: int = 1) -> str:
         parts.append(_mean_sql(f"a{it}", prev, f"c{it}"))
         prev = f"c{it}"
     parts.append(_assign_sql(prev, "assigned"))
+    return parts, prev
+
+
+def _knn_ivf_sql(nprobe: int = 1) -> str:
+    parts, prev = _trained_assign_parts()
     ctes = ",\n".join(parts)
     return f"""
 with {ctes},
@@ -662,13 +670,7 @@ KNN_IVF_SQL = _knn_ivf_sql()
 def _knn_ivf_batch_sql() -> str:
     """Static replay of knn_ivf_batch: same training CTE chain as
     _knn_ivf_sql, then per-query nearest cell + per-query ranked scoring."""
-    parts = _seed_sql_parts()
-    prev = "c0"
-    for it in range(1, KMEANS_ITERS + 1):
-        parts.append(_assign_sql(prev, f"a{it}"))
-        parts.append(_mean_sql(f"a{it}", prev, f"c{it}"))
-        prev = f"c{it}"
-    parts.append(_assign_sql(prev, "assigned"))
+    parts, prev = _trained_assign_parts()
     ctes = ",\n".join(parts)
     csim = (
         f"{_dot_sql('q.qv', 'c.cvec')}"
@@ -839,6 +841,115 @@ where round({_dot_sql('ea.embedding', 'eb.embedding')}
 
 EMB_DEDUP_SQL = _emb_dedup_sql()
 
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): k-means
+# clusters as blocking, exact pairwise cosine WITHIN each cluster, keep the
+# member FARTHEST from its centroid among semantic duplicates (the paper's
+# keep-low-centroid-similarity rule: the most typical copies go, the
+# outlier stays). Complementary to dedup_embedding's banded LSH: LSH finds
+# near-identical vectors cheaply at full-corpus width; SemDeDup trades an
+# O(sum cell²) within-cluster join for exhaustive recall inside each
+# semantic neighborhood. The cluster structure is the PERSISTED IVF index —
+# built once, reused by knn_ivf/knn_ivf_batch/this (one training cost
+# amortized across every probe-side operator, like the reference's one-time
+# HNSW build, docker/init.sql:20).
+#
+# Scale: within-cell self-join cost is sum(|cell|²) — the SemDeDup design
+# point is that K grows with the corpus (K ≈ n / target_cell_size, the same
+# sizing rule as _num_buckets) so cells stay bounded and the join is an
+# AQE-skew-splittable equi-join on cell. K is fixed at IVF_CENTROIDS here
+# because the oracle replays training in static SQL.
+# --------------------------------------------------------------------------
+SEM_DEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic-dedup verdict: (vec_id, cell, centroid_sim,
+    is_dup). A vector is a duplicate iff a same-cell vector with STRICTLY
+    lower centroid-similarity (ties → lower vec_id) lies within
+    SEM_DEDUP_THRESHOLD cosine of it — i.e. among mutual near-dups only
+    the farthest-from-centroid member keeps is_dup = false."""
+    assigned, cents = _ivf_index(spark, sf_dir)
+    cents_df = _centroids_df(spark, cents)
+    csim = _dot(F.col("embedding"), F.col("cvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cvec"))
+    )
+    # broadcast is genuinely bounded here: K centroid rows
+    scored = (
+        assigned.join(F.broadcast(cents_df), F.col("cell") == F.col("cid"))
+        .select("vec_id", "cell", "embedding", csim.alias("csim"))
+        # referenced as both sides of the within-cell self-join AND the
+        # final projection; released via scoped_cache
+        .cache()
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    cos_ab = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    # threshold compares the ROUNDED cosine (same as dedup_embedding) so
+    # the boundary is identical in both engines; the keep-priority order
+    # compares raw doubles — both sides run the same in-order left-fold
+    # (_dot ↔ _dot_sql), the equality the IVF assignment already relies on
+    dropped = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") != F.col("b.vec_id"))
+        & (
+            (F.col("b.csim") < F.col("a.csim"))
+            | (
+                (F.col("b.csim") == F.col("a.csim"))
+                & (F.col("b.vec_id") < F.col("a.vec_id"))
+            )
+        )
+        & (F.round(cos_ab, 6) >= SEM_DEDUP_THRESHOLD),
+        "left_semi",
+    ).select("vec_id", F.lit(True).alias("d"))
+    out = scored.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.round("csim", 6).alias("centroid_sim"),
+        F.coalesce("d", F.lit(False)).alias("is_dup"),
+    )
+    from .common import scoped_cache
+
+    return scoped_cache(out, scored)
+
+
+def _semantic_dedup_sql() -> str:
+    parts, prev = _trained_assign_parts()
+    ctes = ",\n".join(parts)
+    csim = (
+        f"{_dot_sql('a.embedding', 'c.cvec')}"
+        f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_sql('c.cvec', 'c.cvec')}))"
+    )
+    cos_ab = (
+        f"{_dot_sql('x.embedding', 'y.embedding')}"
+        f" / (sqrt({_dot_sql('x.embedding', 'x.embedding')})"
+        f" * sqrt({_dot_sql('y.embedding', 'y.embedding')}))"
+    )
+    return f"""
+with {ctes},
+scored as materialized (
+  select a.vec_id, a.cell, a.embedding, {csim} as csim
+  from assigned a join {prev} c on a.cell = c.cid
+),
+dropped as (
+  select distinct x.vec_id
+  from scored x join scored y
+    on x.cell = y.cell and x.vec_id != y.vec_id
+   and (y.csim < x.csim or (y.csim = x.csim and y.vec_id < x.vec_id))
+   and round({cos_ab}, 6) >= {SEM_DEDUP_THRESHOLD}
+)
+select s.vec_id, s.cell, round(s.csim, 6) as centroid_sim,
+       (d.vec_id is not null) as is_dup
+from scored s left join dropped d using (vec_id)
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
 QUERIES["knn_ivf"] = knn_ivf
 QUERIES["knn_ivf_batch"] = knn_ivf_batch
 QUERIES["dedup_embedding"] = embedding_near_dup
@@ -847,3 +958,5 @@ ORACLES["knn_ivf_batch"] = KNN_IVF_BATCH_SQL
 ORACLES["dedup_embedding"] = EMB_DEDUP_SQL
 EXTRA_QUERIES["knn_ivf_probe2"] = knn_ivf_probe2
 EXTRA_ORACLES["knn_ivf_probe2"] = _knn_ivf_sql(nprobe=2)
+EXTRA_QUERIES["dedup_semantic"] = semantic_dedup
+EXTRA_ORACLES["dedup_semantic"] = SEMANTIC_DEDUP_SQL

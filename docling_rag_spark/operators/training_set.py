@@ -165,6 +165,87 @@ where doc_id % {DECON_EVAL_MOD} != 0
 group by doc_id
 """
 
+
+def decontaminate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination FRACTION — the removal-policy input that
+    `decontaminate` (the boolean audit list) feeds: for every training doc,
+    what share of its distinct {DECON_NGRAM}-grams also appears in the
+    held-out eval set. A pipeline thresholds this (drop if frac > x) rather
+    than dropping on any single shared gram, so the full distribution must
+    be computed, zero-hit docs included.
+
+    Same scale shape as decontaminate — ONE shingle pass feeds both the
+    denominator (per-doc distinct-gram count: grams from shingle_rows_from
+    are already per-doc distinct, so it is a map-combined count) and the
+    eval join (16-byte digests, AQE-decided strategy; no forced broadcast
+    on the corpus-proportional eval side). Reference analog: the ingest
+    skip decides per DOCUMENT from aggregate evidence
+    (src/storage/postgres.py:253-262), not per matching row."""
+    from .dedup import shingle_rows_from
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_rows_from(docs, "doc_id", n=DECON_NGRAM).select(
+        "doc_id", F.unhex(F.md5("shingle")).alias("g")
+    )
+    # referenced twice (denominator + eval join) — cache the digest rows,
+    # released when the caller drops the result
+    sh = sh.cache()
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_grams = sh.filter(is_eval).select("g").distinct()
+    train = sh.filter(~is_eval)
+    n_grams = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    n_hit = (
+        train.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    # left join from the training-doc universe: docs shorter than the gram
+    # width (0 grams) and zero-hit docs both belong in the distribution
+    out = (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(n_grams, "doc_id", "left")
+        .join(n_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_hit", F.lit(0)) / F.col("n_grams")
+                ),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
+    from .common import scoped_cache
+
+    return scoped_cache(out, sh)
+
+
+DECONTAMINATE_FRAC_SQL = f"""
+with sh as (
+  select doc_id, unnest({dsql.shingles_sql('text', n=DECON_NGRAM)}) as g
+  from documents
+),
+ev as (select distinct g from sh where doc_id % {DECON_EVAL_MOD} = 0),
+train as (select doc_id, g from sh where doc_id % {DECON_EVAL_MOD} != 0),
+den as (select doc_id, count(*) as n_grams from train group by doc_id),
+hit as (
+  select doc_id, count(*) as n_hit from train join ev using (g)
+  group by doc_id
+)
+select d.doc_id,
+       coalesce(den.n_grams, 0) as n_grams,
+       coalesce(hit.n_hit, 0) as n_hit,
+       round(case when coalesce(den.n_grams, 0) = 0 then 0.0::double
+             else coalesce(hit.n_hit, 0) / den.n_grams::double end,
+             6) as contamination_frac
+from (select doc_id from documents where doc_id % {DECON_EVAL_MOD} != 0) d
+left join den using (doc_id)
+left join hit using (doc_id)
+"""
+
 # --------------------------------------------------------------------------
 # The end-to-end flagship (round-4 verdict #6): corpus → EXTRACT → chunk →
 # quality ∧ lang ∧ near-dup ∧ decontaminate → selected training chunk set.
@@ -511,8 +592,10 @@ PACK_SEQUENCES_SQL = _pack_sequences_sql()
 EXTRA_QUERIES = {
     "mixture_sample": mixture_sample,
     "pack_sequences": pack_sequences,
+    "decontaminate_frac": decontaminate_frac,
 }
 EXTRA_ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "decontaminate_frac": DECONTAMINATE_FRAC_SQL,
 }

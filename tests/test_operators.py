@@ -924,3 +924,66 @@ def test_ancestor_prefix_join_is_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_plan_batch_keyed_no_pairs(spark):
+    """Incremental (batch-vs-corpus) dedup: the only join of sig rows is
+    the (band, sig) equi-join between the batch and corpus sides — never a
+    cartesian/nested-loop, never a Window over a content key, and no join
+    carries doc_id as an equi-key (that would break the bucket semantics:
+    matches are by signature, ids only aggregate)."""
+    import re
+
+    from docling_rag_spark.operators.dedup import incremental_dedup
+
+    df = incremental_dedup(spark, SF)
+    plan = _formatted_plan(df)
+    df.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not re.findall(r"\bWindow \[", plan)
+    for line in plan.splitlines():
+        if "Join [" in line and "band" in line:
+            keys = line.split("Join [", 1)[1].split("]", 1)[0]
+            assert "doc_id" not in keys, line
+
+
+def test_dedup_semantic_plan_cell_equi_join(spark):
+    """SemDeDup: the within-cluster pair search must be an EQUI-join on
+    cell (AQE-skew-splittable; the threshold + keep-priority predicates
+    stay residual conditions), with the only broadcast being the K-row
+    centroid table — no cartesian, no nested loop over vectors."""
+    from docling_rag_spark.operators.similarity import semantic_dedup
+
+    df = semantic_dedup(spark, SF)
+    plan = _formatted_plan(df)
+    df.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the semi-join pairs on cell as an equi-key somewhere in the plan
+    assert any(
+        "Join [" in line and "cell" in line.split("Join [", 1)[1].split("]", 1)[0]
+        for line in plan.splitlines()
+        if "Join [" in line
+    ), plan
+
+
+def test_decontaminate_frac_plan_no_window_no_pairs(spark):
+    """Per-doc contamination fraction: denominator and hit-count are both
+    map-combined groupBys off ONE cached digest pass — no Window over the
+    gram key, no cartesian, and the gram join carries only the 16-byte
+    digest (g), never doc_id, as an equi-key."""
+    import re
+
+    from docling_rag_spark.operators.training_set import decontaminate_frac
+
+    df = decontaminate_frac(spark, SF)
+    plan = _formatted_plan(df)
+    df.unpersist()
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"\bWindow \[", plan)
+    for line in plan.splitlines():
+        if "Join [" in line:
+            keys = line.split("Join [", 1)[1].split("]", 1)[0]
+            if "g#" in keys:
+                assert "doc_id" not in keys, line
