@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_exact_substring",
     "dedup_clusters",
+    "dedup_incremental",
+    "dedup_semantic",
     "knn_bruteforce",
     "knn_ivf_batch",
     "fulltext_topk_bm25",
@@ -51,6 +53,7 @@ HEADLINE = [
     "text_gopher_filters",
     "chunk_documents",
     "decontaminate",
+    "decontaminate_frac",
     "training_subset_chunks",
     "pack_sequences",
     "span_boilerplate",
