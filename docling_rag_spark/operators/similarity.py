@@ -875,17 +875,27 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     csim = _dot(F.col("embedding"), F.col("cvec")) / (
         _norm(F.col("embedding")) * _norm(F.col("cvec"))
     )
-    # broadcast is genuinely bounded here: K centroid rows
+    # broadcast is genuinely bounded here: K centroid rows. The vector's
+    # own norm is computed ONCE per row (cached) rather than per pair —
+    # the pair search then pays one dot product per candidate instead of
+    # three; dot/(na*nb) is the same expression tree per pair, so values
+    # (and the oracle) are bit-identical.
     scored = (
         assigned.join(F.broadcast(cents_df), F.col("cell") == F.col("cid"))
-        .select("vec_id", "cell", "embedding", csim.alias("csim"))
+        .select(
+            "vec_id",
+            "cell",
+            "embedding",
+            csim.alias("csim"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
         # referenced as both sides of the within-cell self-join AND the
         # final projection; released via scoped_cache
         .cache()
     )
     a, b = scored.alias("a"), scored.alias("b")
     cos_ab = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     # threshold compares the ROUNDED cosine (same as dedup_embedding) so
     # the boundary is identical in both engines; the keep-priority order
