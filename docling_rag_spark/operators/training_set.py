@@ -461,6 +461,77 @@ where {u_h} / 4294967295.0
 
 MIXTURE_SAMPLE_SQL = _mixture_sample_sql()
 
+
+# --------------------------------------------------------------------------
+# Temperature-based domain rebalancing (the multilingual-LM mixture recipe:
+# XLM-R / mT5-style α-scaling, UniMax's capped variant): target share of
+# domain s ∝ n_s^α (α < 1 upsamples the tail relative to the head), at
+# constant corpus size, so rate_s = min(1, n_s^α / Σ n_t^α · N / n_s).
+# Unlike mixture_sample's CONFIGURED rates, the rates here are
+# DATA-DEPENDENT: one map-combined groupBy(domain) count, the Σ as a
+# single-row broadcast aggregate (the BM25 corpus-stats pattern), rates
+# joined back on the domain key (bounded by #domains — unhinted, AQE
+# decides), then the same deterministic hash-rate keep as mixture_sample.
+# Two tiny aggregates + one filter — the docs table itself never shuffles.
+# --------------------------------------------------------------------------
+TEMP_ALPHA = 0.5
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # cached: the #domains-sized count frame feeds both the Σ aggregate and
+    # the rate projection — without it each reference re-scans the table's
+    # lang column (two full scans at corpus scale); released via
+    # scoped_cache when the caller drops the result
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n")).cache()
+    tot = counts.agg(
+        F.sum(F.pow("n", TEMP_ALPHA)).alias("sa"), F.sum("n").alias("nn")
+    )
+    # rate expression written with the SAME association order as the SQL
+    # (((n^α / sa) · nn) / n) so both engines produce bit-identical doubles
+    rate = F.round(
+        F.least(
+            F.lit(1.0), F.pow("n", TEMP_ALPHA) / F.col("sa") * F.col("nn") / F.col("n")
+        ),
+        6,
+    )
+    rates = counts.join(F.broadcast(tot)).select("lang", rate.alias("keep_rate"))
+    u = _hex_bigint_col(
+        F.concat_ws("|", F.lit(MIX_SEED), F.lit("temp"), F.col("doc_id")), 8
+    ) / F.lit(4294967295.0)
+    out = (
+        docs.select("doc_id", "lang", u.alias("u"))
+        .join(rates, "lang")
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select("doc_id", "lang", "keep_rate")
+    )
+    from .common import scoped_cache
+
+    return scoped_cache(out, counts)
+
+
+def _temperature_sample_sql() -> str:
+    from .common import hexn_to_bigint_sql
+
+    u_h = hexn_to_bigint_sql(
+        f"md5('{MIX_SEED}' || '|' || 'temp' || '|' || doc_id::varchar)", 8
+    )
+    return f"""
+with c as (select lang, count(*) as n from documents group by lang),
+tot as (select sum(power(n, {TEMP_ALPHA})) as sa, sum(n)::double as nn from c),
+r as (
+  select lang,
+         round(least(1.0, power(n, {TEMP_ALPHA}) / sa * nn / n), 6) as keep_rate
+  from c, tot
+)
+select d.doc_id, d.lang, r.keep_rate
+from documents d join r using (lang)
+where {u_h} / 4294967295.0 < r.keep_rate
+"""
+
+
+TEMPERATURE_SAMPLE_SQL = _temperature_sample_sql()
+
 # --------------------------------------------------------------------------
 # Sequence packing (round 5): assign extracted chunks to fixed-token-budget
 # training sequences — the batch-prep step between selection and the
@@ -593,9 +664,11 @@ EXTRA_QUERIES = {
     "mixture_sample": mixture_sample,
     "pack_sequences": pack_sequences,
     "decontaminate_frac": decontaminate_frac,
+    "temperature_sample": temperature_sample,
 }
 EXTRA_ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "decontaminate_frac": DECONTAMINATE_FRAC_SQL,
+    "temperature_sample": TEMPERATURE_SAMPLE_SQL,
 }

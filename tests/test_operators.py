@@ -987,3 +987,20 @@ def test_decontaminate_frac_plan_no_window_no_pairs(spark):
             keys = line.split("Join [", 1)[1].split("]", 1)[0]
             if "g#" in keys:
                 assert "doc_id" not in keys, line
+
+
+def test_temperature_sample_plan_pruned_no_window(spark):
+    """α-temperature rebalancing: rates are tiny aggregates joined back —
+    no Window, no cartesian over doc rows, and the doc-side scan is pruned
+    to exactly (doc_id, lang) (the text column never leaves the parquet
+    reader for a pure sampling decision)."""
+    import re
+
+    from docling_rag_spark.operators.training_set import temperature_sample
+
+    df = temperature_sample(spark, SF)
+    plan = _formatted_plan(df)
+    df.unpersist()
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"\bWindow \[", plan)
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
