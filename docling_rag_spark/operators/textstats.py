@@ -561,3 +561,76 @@ select doc_id, term, tf, tfidf, rk from (
 # rotation, swapping with dedup_simhash — see dedup.py registry note)
 QUERIES["doc_keywords"] = doc_keywords
 ORACLES["doc_keywords"] = DOC_KEYWORDS_SQL
+
+
+# --------------------------------------------------------------------------
+# Linear quality classifier (round 6): the fasttext-style learned quality
+# filter every production pipeline runs after the heuristic gates (CCNet /
+# GPT-3's quality classifier, Gopher §A1.2). The model here is a FIXED
+# linear scorer over the already-portable heuristic features — a
+# deterministic stand-in for trained weights (which would arrive as a tiny
+# broadcast weights row exactly like these literals); the Spark shape is
+# the real thing: a pure per-row codegen projection, no Python, no
+# shuffle, scan pruned to (doc_id, text).
+# Features are the ROUND-6-stable ratios (so the cross-engine comparison
+# never rides a last-ulp difference) plus ln(1+count) scale terms.
+# --------------------------------------------------------------------------
+QC_BIAS = -1.5
+QC_W_LOG_TOKENS = 0.35
+QC_W_STOPWORD = 2.0
+QC_W_PUNCT = -3.0
+QC_W_LOG_CHARS = 0.1
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.length(tidy_col(F.col("text"))).alias("n_chars"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
+    )
+    logit = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + F.col("n_tokens"))
+        + F.lit(QC_W_STOPWORD) * F.col("stopword_ratio")
+        + F.lit(QC_W_PUNCT) * F.col("punct_ratio")
+        + F.lit(QC_W_LOG_CHARS) * F.log(F.lit(1.0) + F.col("n_chars"))
+    )
+    return feats.select(
+        "doc_id",
+        F.round(logit, 6).alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_prob"
+        ),
+        (F.round(logit, 6) >= 0).alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+with feats as (
+  select doc_id,
+         length({dsql.tidy_sql('text')}) as n_chars,
+         {dsql.token_count_sql('text')} as n_tokens,
+         round({dsql.punct_ratio_sql('text')}, 6) as punct_ratio,
+         round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio
+  from documents
+),
+scored as (
+  select doc_id,
+         {QC_BIAS} + {QC_W_LOG_TOKENS} * ln(1.0 + n_tokens)
+         + {QC_W_STOPWORD} * stopword_ratio
+         + {QC_W_PUNCT} * punct_ratio
+         + {QC_W_LOG_CHARS} * ln(1.0 + n_chars) as logit
+  from feats
+)
+select doc_id,
+       round(logit, 6) as quality_logit,
+       round(1.0 / (1.0 + exp(-logit)), 6) as quality_prob,
+       (round(logit, 6) >= 0) as keep
+from scored
+"""
+
+EXTRA_QUERIES = {"quality_classifier": quality_classifier}
+EXTRA_ORACLES = {"quality_classifier": QUALITY_CLASSIFIER_SQL}

@@ -1004,3 +1004,14 @@ def test_temperature_sample_plan_pruned_no_window(spark):
     assert "CartesianProduct" not in plan
     assert not re.findall(r"\bWindow \[", plan)
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_quality_classifier_plan_pure_projection(spark):
+    """The learned-quality-filter stand-in must be a single codegen
+    projection over the scan — NO Exchange of any kind (per-row scoring
+    cannot justify a shuffle), scan pruned to (doc_id, text)."""
+    from docling_rag_spark.operators.textstats import quality_classifier
+
+    plan = _formatted_plan(quality_classifier(spark, SF))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
