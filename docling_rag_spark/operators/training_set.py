@@ -495,7 +495,10 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    rates = counts.join(F.broadcast(tot)).select("lang", rate.alias("keep_rate"))
+    # no F.broadcast hint even on this 1-row stats frame: the module bans
+    # hints wholesale (pinned by test) and AQE broadcasts a 1-row side on
+    # its own — a cross join with a single aggregate row is always BNLJ
+    rates = counts.join(tot).select("lang", rate.alias("keep_rate"))
     u = _hex_bigint_col(
         F.concat_ws("|", F.lit(MIX_SEED), F.lit("temp"), F.col("doc_id")), 8
     ) / F.lit(4294967295.0)
