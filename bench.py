@@ -54,6 +54,7 @@ HEADLINE = [
     "chunk_documents",
     "decontaminate",
     "decontaminate_frac",
+    "decontaminate_bloom",
     "training_subset_chunks",
     "pack_sequences",
     "span_boilerplate",

@@ -247,6 +247,169 @@ left join hit using (doc_id)
 """
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination — the very-large-eval-set scale path for the
+# gram-join family above. `decontaminate`/`decontaminate_frac` shuffle the
+# TRAINING grams to meet the eval grams on the digest key (AQE may broadcast
+# the eval side, but only when it happens to be small). A Bloom filter makes
+# the probe side shuffle-free BY CONSTRUCTION: the eval set is compiled once
+# into a fixed-size bitmap (BLOOM_BITS is a constant — 2^20 bits ≈ 128 KiB —
+# independent of corpus OR eval size), and every training gram tests
+# membership via k=4 map-side lookups. False positives are possible (that is
+# the Bloom trade — rate (1-e^{-kn/m})^k, tune BLOOM_BITS to the real eval
+# size); false negatives are not, so a doc passed by the bloom audit needs
+# no exact recheck and only the flagged slice would be re-verified with the
+# exact join. Reference analog: the skip-if-ingested probe consults a
+# compact presence structure instead of rejoining the corpus
+# (src/storage/postgres.py:253-262).
+#
+# Determinism/portability: positions come from 8-hex-char slices of the
+# gram's md5 (32 bits each, one md5 per gram on both engines); the bitmap
+# packs 32 bits per BIGINT word (bit index ≤ 31 — the sign bit is never
+# touched, so Spark and DuckDB shift/AND agree exactly). The build side
+# needs NO distinct: bit_or is idempotent, so duplicate grams cost nothing —
+# the whole build is one ≤BLOOM_WORDS-key aggregate.
+# --------------------------------------------------------------------------
+BLOOM_BITS = 1 << 20
+BLOOM_WORDS = BLOOM_BITS >> 5  # 32 bits per word
+BLOOM_K = 4
+
+
+def _bloom_pos(h, i: int):
+    # i-th probe: hex chars [1+8i, 8+8i) of the md5 → 32-bit int → mod m
+    return (
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint") % BLOOM_BITS
+    )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_rows_from
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_rows_from(docs, "doc_id", n=DECON_NGRAM).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+
+    # build: explode the k probe positions, OR the bit masks per word.
+    # ONE aggregate over a ≤BLOOM_WORDS key space — no distinct, no join.
+    probes = sh.filter(is_eval).select(
+        F.explode(F.array(*[_bloom_pos(F.col("h"), i) for i in range(BLOOM_K)]))
+        .alias("p")
+    )
+    bitmap = (
+        probes.select(
+            F.shiftright(F.col("p"), 5).cast("int").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p & 31 as int))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+    # probe: k chained LEFT joins against the fixed-size bitmap. No
+    # F.broadcast hint (module ban) — AQE measures the ≤128 KiB build side
+    # and converts every one to a broadcast hash join; the training grams
+    # never shuffle. A word absent from the bitmap means bits=0.
+    train = sh.filter(~is_eval)
+    for i in range(BLOOM_K):
+        train = (
+            train.withColumn(f"p{i}", _bloom_pos(F.col("h"), i))
+            .withColumn(f"w{i}", F.shiftright(F.col(f"p{i}"), 5).cast("int"))
+            .withColumn(
+                f"m{i}",
+                F.expr(f"shiftleft(cast(1 as bigint), cast(p{i} & 31 as int))"),
+            )
+        )
+    for i in range(BLOOM_K):
+        b = bitmap.select(
+            F.col("word").alias(f"word{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        train = train.join(b, train[f"w{i}"] == b[f"word{i}"], "left")
+    hit = None
+    for i in range(BLOOM_K):
+        h_i = (
+            F.coalesce(F.col(f"bits{i}"), F.lit(0)).bitwiseAND(F.col(f"m{i}")) != 0
+        )
+        hit = h_i if hit is None else (hit & h_i)
+    flagged = train.select("doc_id", hit.cast("int").alias("hit"))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"), F.sum("hit").alias("n_flagged")
+    )
+    # left join from the training-doc universe: zero-gram docs belong in
+    # the audit output too (same policy as decontaminate_frac)
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_flagged", F.lit(0)) / F.col("n_grams")
+                ),
+                6,
+            ).alias("flagged_frac"),
+        )
+    )
+
+
+def _bloom_pos_sql(h: str, i: int) -> str:
+    from .common import hexn_to_bigint_sql
+
+    return f"({hexn_to_bigint_sql(f'substring({h}, {1 + 8 * i}, 8)', 8)} % {BLOOM_BITS})"
+
+
+def _decontaminate_bloom_sql() -> str:
+    pos = [_bloom_pos_sql("h", i) for i in range(BLOOM_K)]
+    joins = "\n".join(
+        f"left join bitmap b{i} on b{i}.word = (t.p{i} >> 5)" for i in range(BLOOM_K)
+    )
+    hits = " and ".join(
+        f"(coalesce(b{i}.bits, 0) & (1::BIGINT << (t.p{i} & 31)::INT)) <> 0"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+with sh as (
+  select doc_id, md5(g) as h
+  from (
+    select doc_id, unnest({dsql.shingles_sql('text', n=DECON_NGRAM)}) as g
+    from documents
+  )
+),
+probes as (
+  select unnest([{', '.join(pos)}]) as p
+  from sh where doc_id % {DECON_EVAL_MOD} = 0
+),
+bitmap as (
+  select (p >> 5) as word, bit_or(1::BIGINT << (p & 31)::INT) as bits
+  from probes group by 1
+),
+train as (
+  select doc_id, {', '.join(f'{p} as p{i}' for i, p in enumerate(pos))}
+  from sh where doc_id % {DECON_EVAL_MOD} != 0
+),
+per_gram as (
+  select t.doc_id, case when {hits} then 1 else 0 end as hit
+  from train t
+  {joins}
+),
+per_doc as (
+  select doc_id, count(*) as n_grams, sum(hit)::BIGINT as n_flagged
+  from per_gram group by doc_id
+)
+select d.doc_id,
+       coalesce(p.n_grams, 0) as n_grams,
+       coalesce(p.n_flagged, 0) as n_flagged,
+       round(case when coalesce(p.n_grams, 0) = 0 then 0.0::double
+             else coalesce(p.n_flagged, 0) / p.n_grams::double end,
+             6) as flagged_frac
+from (select doc_id from documents where doc_id % {DECON_EVAL_MOD} != 0) d
+left join per_doc p using (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # The end-to-end flagship (round-4 verdict #6): corpus → EXTRACT → chunk →
 # quality ∧ lang ∧ near-dup ∧ decontaminate → selected training chunk set.
 # This is the pipeline the engine exists for: every stage is the already-
@@ -667,11 +830,13 @@ EXTRA_QUERIES = {
     "mixture_sample": mixture_sample,
     "pack_sequences": pack_sequences,
     "decontaminate_frac": decontaminate_frac,
+    "decontaminate_bloom": decontaminate_bloom,
     "temperature_sample": temperature_sample,
 }
 EXTRA_ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "decontaminate_frac": DECONTAMINATE_FRAC_SQL,
+    "decontaminate_bloom": _decontaminate_bloom_sql(),
     "temperature_sample": TEMPERATURE_SAMPLE_SQL,
 }

@@ -1015,3 +1015,46 @@ def test_quality_classifier_plan_pure_projection(spark):
     plan = _formatted_plan(quality_classifier(spark, SF))
     assert "Exchange" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_decontaminate_bloom_no_false_negatives(spark):
+    """The Bloom audit may over-flag (false positives are the Bloom trade)
+    but must NEVER under-flag: every distinct gram the exact join reports
+    as shared is bloom-positive by construction, so per doc
+    n_flagged >= the exact n_shared_grams, and no exactly-contaminated doc
+    may be absent from the bloom output."""
+    from docling_rag_spark.operators.training_set import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    exact = {r["doc_id"]: r["n_shared_grams"] for r in decontaminate(spark, SF).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"] for r in decontaminate_bloom(spark, SF).collect()}
+    assert exact, "fixture must contain at least one contaminated doc"
+    for doc, n_exact in exact.items():
+        assert bloom.get(doc, 0) >= n_exact, (doc, n_exact, bloom.get(doc))
+
+
+def test_decontaminate_bloom_plan_probe_never_shuffles_grams(spark):
+    """The scale contract of the Bloom path: the bitmap is a FIXED-size
+    build side (<= BLOOM_WORDS rows regardless of corpus or eval size), so
+    under AQE every probe join converges to broadcast (0 sort-merge joins)
+    and the training grams flow scan->probe->per-doc agg without ever
+    being exchanged on a gram key: every hashpartitioning in the final
+    plan keys on doc_id (final agg / doc-universe join) or word (bitmap
+    build) — never on the gram hash h."""
+    import re
+
+    from docling_rag_spark.operators.training_set import (
+        BLOOM_K,
+        decontaminate_bloom,
+    )
+
+    df = decontaminate_bloom(spark, SF)
+    df.collect()
+    plan = _formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"doc_id", "word"}, keys
