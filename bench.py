@@ -56,6 +56,7 @@ HEADLINE = [
     "decontaminate_frac",
     "decontaminate_bloom",
     "training_subset_chunks",
+    "token_budget_select",
     "pack_sequences",
     "span_boilerplate",
     "span_intra_dedup",

@@ -410,6 +410,178 @@ left join per_doc p using (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Per-domain token-budget selection — "take the best documents of every
+# source until its token budget is spent", the data-mixing primitive that
+# turns per-domain weights into an actual training subset (the rate-based
+# samplers above hit an EXPECTED mass; a budget is a hard cap in tokens).
+#
+# The naive shape — window cumsum over doc rows ordered by score within
+# source — puts an entire domain in one sort task (the doc_keywords
+# hot-key lesson, round-5 verdict #2). The scale-correct shape here:
+#   1. bucket every doc by (score bucket sb, md5-jitter cell jb) — jb
+#      exists ONLY to spread score ties: even a domain where every doc has
+#      the same score lands uniformly across 256 jitter cells, so no cell
+#      exceeds ~n_source/(SB·256) in expectation and ~n_source/256 in the
+#      all-ties worst case;
+#   2. per-cell token histogram (one map-combined groupBy over a bounded
+#      key space) + running cumsum over the TINY histogram (window
+#      partitions hold ≤ SB·256 rows per source — bounded by constants,
+#      never by corpus);
+#   3. join the cell verdict back: cells fully inside the budget keep all
+#      docs MAP-SIDE (no doc-row shuffle; the histogram side is
+#      #sources-proportional so no broadcast hint — AQE decides), cells
+#      fully outside drop map-side;
+#   4. only the ONE boundary cell per source is resolved exactly, with an
+#      intra-cell window ordered by the md5 tie-break — a partition of
+#      ~n_source/10k docs, not a domain.
+# Keep rule: a doc is kept iff the token mass of all strictly-higher-
+# priority docs (priority = sb desc, jb desc, h desc) is < the budget —
+# greedy prefix fill; the last kept doc may overflow the budget.
+#
+# The full-keep/boundary union reads the doc table twice (two narrow
+# column-pruned scans) — the deliberate trade for keeping the doc-row side
+# shuffle-light: when AQE can broadcast the histogram the verdict join is
+# map-side and doc rows never shuffle at all; when the histogram itself is
+# large (many sources) the join degrades to an equi-join on the
+# well-spread (source, sb, jb) cell key — skew-splittable, never a
+# per-source sort. The single-window alternative costs one scan but
+# ALWAYS exchanges every doc row.
+# --------------------------------------------------------------------------
+TBS_SEED = "tbs-v1"
+TBS_BUDGET = 800  # tokens per source; production wires a per-source map
+TBS_SCORE_BUCKETS = 40
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textstats import (
+        QC_BIAS,
+        QC_W_LOG_CHARS,
+        QC_W_LOG_TOKENS,
+        QC_W_PUNCT,
+        QC_W_STOPWORD,
+    )
+    from ..functions.text import (
+        punct_ratio_col,
+        stopword_ratio_col,
+        tidy_col,
+        token_count_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # identical scoring path to quality_classifier (rounded features, then
+    # the linear logit) so the two operators rank docs consistently
+    logit = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS)
+        * F.log(F.lit(1.0) + token_count_col(F.col("text")))
+        + F.lit(QC_W_STOPWORD) * F.round(stopword_ratio_col(F.col("text")), 6)
+        + F.lit(QC_W_PUNCT) * F.round(punct_ratio_col(F.col("text")), 6)
+        + F.lit(QC_W_LOG_CHARS)
+        * F.log(F.lit(1.0) + F.length(tidy_col(F.col("text"))))
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    h = F.md5(F.concat_ws("|", F.lit(TBS_SEED), F.col("doc_id")))
+    d = docs.select(
+        "doc_id",
+        "source",
+        token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
+        prob.alias("prob"),
+        h.alias("h"),
+    ).select(
+        "*",
+        F.floor(F.col("prob") * TBS_SCORE_BUCKETS).cast("int").alias("sb"),
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("jb"),
+    )
+    hist = d.groupBy("source", "sb", "jb").agg(F.sum("n_tokens").alias("tb"))
+    w_hist = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("sb"), F.desc("jb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hc = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("tb").over(w_hist), F.lit(0))
+    )
+    j = d.join(hc, ["source", "sb", "jb"])
+    out_cols = ["source", "doc_id", F.col("prob").alias("quality_prob"), "n_tokens"]
+    full_keep = j.filter(F.col("cum_before") + F.col("tb") <= TBS_BUDGET)
+    w_cell = (
+        Window.partitionBy("source", "sb", "jb")
+        .orderBy(F.desc("h"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bnd_keep = (
+        j.filter(
+            (F.col("cum_before") < TBS_BUDGET)
+            & (F.col("cum_before") + F.col("tb") > TBS_BUDGET)
+        )
+        .withColumn(
+            "intra", F.coalesce(F.sum("n_tokens").over(w_cell), F.lit(0))
+        )
+        .filter(F.col("cum_before") + F.col("intra") < TBS_BUDGET)
+    )
+    return full_keep.select(*out_cols).unionAll(bnd_keep.select(*out_cols))
+
+
+def _token_budget_select_sql() -> str:
+    from .common import hexn_to_bigint_sql
+    from .textstats import (
+        QC_BIAS,
+        QC_W_LOG_CHARS,
+        QC_W_LOG_TOKENS,
+        QC_W_PUNCT,
+        QC_W_STOPWORD,
+    )
+
+    return f"""
+with d as (
+  select doc_id, source,
+         ({dsql.token_count_sql('text')})::BIGINT as n_tokens,
+         round(1.0 / (1.0 + exp(-(
+           {QC_BIAS} + {QC_W_LOG_TOKENS} * ln(1.0 + {dsql.token_count_sql('text')})
+           + {QC_W_STOPWORD} * round({dsql.stopword_ratio_sql('text')}, 6)
+           + {QC_W_PUNCT} * round({dsql.punct_ratio_sql('text')}, 6)
+           + {QC_W_LOG_CHARS} * ln(1.0 + length({dsql.tidy_sql('text')}))
+         ))), 6) as prob,
+         md5('{TBS_SEED}' || '|' || doc_id::varchar) as h
+  from documents
+),
+d2 as (
+  select *, cast(floor(prob * {TBS_SCORE_BUCKETS}) as int) as sb,
+         cast({hexn_to_bigint_sql('h', 2)} as int) as jb
+  from d
+),
+hist as (
+  select source, sb, jb, sum(n_tokens)::BIGINT as tb
+  from d2 group by 1, 2, 3
+),
+hc as (
+  select *, coalesce(sum(tb) over (
+    partition by source order by sb desc, jb desc
+    rows between unbounded preceding and 1 preceding), 0)::BIGINT as cum_before
+  from hist
+),
+j as (
+  select d2.source, d2.doc_id, d2.prob, d2.n_tokens, d2.h, d2.sb, d2.jb,
+         hc.tb, hc.cum_before
+  from d2 join hc using (source, sb, jb)
+),
+bnd as (
+  select *, coalesce(sum(n_tokens) over (
+    partition by source, sb, jb order by h desc
+    rows between unbounded preceding and 1 preceding), 0)::BIGINT as intra
+  from j where cum_before < {TBS_BUDGET} and cum_before + tb > {TBS_BUDGET}
+)
+select source, doc_id, prob as quality_prob, n_tokens
+from j where cum_before + tb <= {TBS_BUDGET}
+union all
+select source, doc_id, prob as quality_prob, n_tokens
+from bnd where cum_before + intra < {TBS_BUDGET}
+"""
+
+
+# --------------------------------------------------------------------------
 # The end-to-end flagship (round-4 verdict #6): corpus → EXTRACT → chunk →
 # quality ∧ lang ∧ near-dup ∧ decontaminate → selected training chunk set.
 # This is the pipeline the engine exists for: every stage is the already-
@@ -832,6 +1004,7 @@ EXTRA_QUERIES = {
     "decontaminate_frac": decontaminate_frac,
     "decontaminate_bloom": decontaminate_bloom,
     "temperature_sample": temperature_sample,
+    "token_budget_select": token_budget_select,
 }
 EXTRA_ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
@@ -839,4 +1012,5 @@ EXTRA_ORACLES = {
     "decontaminate_frac": DECONTAMINATE_FRAC_SQL,
     "decontaminate_bloom": _decontaminate_bloom_sql(),
     "temperature_sample": TEMPERATURE_SAMPLE_SQL,
+    "token_budget_select": _token_budget_select_sql(),
 }

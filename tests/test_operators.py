@@ -1058,3 +1058,79 @@ def test_decontaminate_bloom_plan_probe_never_shuffles_grams(spark):
     assert plan.count("BroadcastHashJoin") >= BLOOM_K
     keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
     assert keys <= {"doc_id", "word"}, keys
+
+
+def test_token_budget_select_matches_greedy_prefix(spark):
+    """Independent reimplementation: per source, sort docs by the operator's
+    priority (sb desc, jb desc, md5 tie-break desc) and greedily take while
+    the tokens of strictly-prior docs stay under the budget. The
+    histogram-threshold + boundary-cell plan must select EXACTLY that set,
+    and the budget must actually bind (some docs dropped per source)."""
+    import hashlib
+    import math
+
+    from docling_rag_spark.operators.training_set import (
+        TBS_BUDGET,
+        TBS_SCORE_BUCKETS,
+        TBS_SEED,
+        token_budget_select,
+    )
+    from docling_rag_spark.operators.textstats import quality_classifier
+
+    got = token_budget_select(spark, SF).toPandas()
+    docs = spark.read.parquet(SF + "/documents.parquet").toPandas()
+    prob = quality_classifier(spark, SF).toPandas().set_index("doc_id")[
+        "quality_prob"
+    ]
+    toks = dict(zip(got.doc_id, got.n_tokens))
+    # n_tokens for docs the operator dropped: recompute via the same split
+    all_toks = {
+        r.doc_id: len([t for t in str(r.text).strip().split() if t])
+        for r in docs.itertuples()
+    }
+    expected = set()
+    for src, grp in docs.groupby("source"):
+        rows = []
+        for r in grp.itertuples():
+            h = hashlib.md5(f"{TBS_SEED}|{r.doc_id}".encode()).hexdigest()
+            sb = math.floor(prob[r.doc_id] * TBS_SCORE_BUCKETS)
+            rows.append((sb, int(h[:2], 16), h, r.doc_id))
+        rows.sort(reverse=True)
+        cum = 0
+        for sb, jb, h, doc_id in rows:
+            if cum < TBS_BUDGET:
+                expected.add(doc_id)
+            cum += all_toks[doc_id]
+    assert set(got.doc_id) == expected
+    assert 0 < len(expected) < len(docs), "budget must bind at fixture scale"
+    for doc_id, n in toks.items():
+        assert all_toks[doc_id] == n
+
+
+def test_token_budget_select_plan_windows_are_bounded(spark):
+    """Scale contract: NO window ever partitions doc rows by source alone
+    (a domain in one sort task — the doc_keywords lesson). Every window in
+    the plan is either the histogram cumsum — source-partitioned but over
+    the bounded (source, sb, jb) AGGREGATE (sums tb, never doc rows; it
+    appears once per union branch) — or the boundary intra-cell window
+    partitioned by the full cell key."""
+    import re
+
+    from docling_rag_spark.operators.training_set import token_budget_select
+
+    plan = _formatted_plan(token_budget_select(spark, SF))
+    # Window node prints as: Window [funcs], [partition], [order]
+    wins = re.findall(r"Window (\[[^\n]*)", plan)
+    assert wins, plan
+    for w in wins:
+        funcs, part = re.findall(r"\[([^\]]*)\]", w)[:2]
+        part_cols = [c.split("#")[0] for c in part.split(", ") if c]
+        if part_cols == ["source"]:
+            # source-alone partition is ONLY legal over the bounded
+            # histogram (sums tb, the per-cell aggregate) — never doc rows
+            assert "sum(tb#" in funcs, w
+        else:
+            # the exact boundary resolution partitions by the full cell key
+            assert part_cols == ["source", "sb", "jb"], w
+            assert "sum(n_tokens#" in funcs, w
+    assert "CartesianProduct" not in plan
