@@ -6,9 +6,14 @@ removal (drop every doc that is the higher id in a strong MinHash-LSH
 candidate pair — keep-first-canonical, the standard crawl-dedup rule).
 At 100 TB each stage is the already-benchmarked operator; composition adds
 anti-joins whose build sides (drop-set, contaminated-set, eval grams) are
-corpus-proportional — so NOTHING in this module forces F.broadcast():
-AQE broadcasts what it measures small at runtime and shuffles the rest
-(a hard-coded hint on a linearly-growing side is a driver OOM at scale).
+corpus-proportional — so no corpus-proportional side in this module ever
+carries F.broadcast(): AQE broadcasts what it measures small at runtime
+and shuffles the rest (a hard-coded hint on a linearly-growing side is a
+driver OOM at scale). The ONE exception, pinned by test: the bloom bitmap
+in decontaminate_bloom, whose row count is bounded by the BLOOM_WORDS
+constant — a hint on a structurally-constant side is the K-centroid class,
+not the banned class, and there the hint is load-bearing (see the comment
+at the probe joins).
 """
 
 from __future__ import annotations
@@ -305,10 +310,19 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
 
-    # probe: k chained LEFT joins against the fixed-size bitmap. No
-    # F.broadcast hint (module ban) — AQE measures the ≤128 KiB build side
-    # and converts every one to a broadcast hash join; the training grams
-    # never shuffle. A word absent from the bitmap means bits=0.
+    # probe: k chained LEFT joins against the fixed-size bitmap, each with
+    # an explicit F.broadcast hint — the ONE sanctioned hint in this
+    # module, because the bitmap is structurally bounded (≤ BLOOM_WORDS
+    # rows by construction, independent of corpus AND eval size — the same
+    # class as similarity.py's K-centroid broadcasts; the module ban
+    # targets corpus-proportional sides). The hint is not cosmetic:
+    # Catalyst's STATIC size estimate for the bitmap derives from its huge
+    # exploded-eval child, so without the hint a tight broadcast budget
+    # plans sort-merge joins and the training grams get map-written for 4
+    # probe exchanges before AQE can convert (measured: 215 MB shuffled
+    # vs 87 MB for the exact join at R=16 under a 2 MiB budget —
+    # tools/bloom_crossover.py). A word absent from the bitmap means
+    # bits=0.
     train = sh.filter(~is_eval)
     for i in range(BLOOM_K):
         train = (
@@ -320,8 +334,10 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     for i in range(BLOOM_K):
-        b = bitmap.select(
-            F.col("word").alias(f"word{i}"), F.col("bits").alias(f"bits{i}")
+        b = F.broadcast(
+            bitmap.select(
+                F.col("word").alias(f"word{i}"), F.col("bits").alias(f"bits{i}")
+            )
         )
         train = train.join(b, train[f"w{i}"] == b[f"word{i}"], "left")
     hit = None

@@ -373,12 +373,19 @@ def test_decontaminate_plan_broadcasts_eval_grams(spark):
 
 
 def test_training_set_has_no_forced_broadcast_hints(spark):
-    """Pin round-4 verdict #1: no side of any join in training_set.py
-    carries a forced F.broadcast() hint — every build side there (dup-set,
-    contaminated-set, eval grams) grows linearly with the corpus, so the
-    choice belongs to AQE at runtime. Source-level pin plus the behavioral
-    half: at sandbox scale AQE must still converge every join of the chunk
-    flagship to broadcast (no sort-merge join, no forced hint needed)."""
+    """Pin round-4 verdict #1: no CORPUS-PROPORTIONAL side of any join in
+    training_set.py carries a forced F.broadcast() hint — every anti-join
+    build side there (dup-set, contaminated-set, eval grams) grows
+    linearly with the corpus, so the choice belongs to AQE at runtime.
+    The single sanctioned exception is decontaminate_bloom's bitmap: its
+    row count is bounded by the BLOOM_WORDS constant (the K-centroid
+    class), and the hint there is load-bearing (the static size estimate
+    derives from the unbounded exploded-eval child — without the hint a
+    tight broadcast budget plans SMJ and map-writes the training grams 4×;
+    measured in tools/bloom_crossover.py). Source-level pin plus the
+    behavioral half: at sandbox scale AQE must still converge every join
+    of the chunk flagship to broadcast (no sort-merge join, no forced hint
+    needed)."""
     import ast
     import inspect
 
@@ -386,12 +393,17 @@ def test_training_set_has_no_forced_broadcast_hints(spark):
     from docling_rag_spark.operators.training_set import training_subset_chunks
 
     tree = ast.parse(inspect.getsource(training_set))
+    allowed = set()
+    for fn in ast.walk(tree):
+        if isinstance(fn, ast.FunctionDef) and fn.name == "decontaminate_bloom":
+            allowed = {id(n) for n in ast.walk(fn)}
     calls = [
         n
         for n in ast.walk(tree)
         if isinstance(n, ast.Call)
         and isinstance(n.func, ast.Attribute)
         and n.func.attr == "broadcast"
+        and id(n) not in allowed
     ]
     assert not calls, (
         "training_set.py must not force-broadcast corpus-proportional sides"
