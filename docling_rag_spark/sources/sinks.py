@@ -6,6 +6,21 @@ Reference: row-at-a-time INSERT ... ON CONFLICT (id) DO NOTHING
 INSERT`` or dedup-then-append; this sandbox has no Iceberg catalog jars, so
 the parquet fallback implements the same contract: appending the same batch
 twice leaves one copy per id.
+
+Filesystem routing: every existence probe / rename / delete / marker IO in
+this module dispatches on the path. A bare (schemeless) path uses plain
+POSIX ``os``/``shutil`` — zero JVM round-trips, and the one the test suite
+hammers. A scheme-qualified path (``hdfs://``, ``s3a://``, ``file://``,
+...) routes through the Hadoop FileSystem API on the active session's JVM,
+so the exactly-once protocol works on any filesystem Spark itself can
+write to (the round-5 gap: ``os.walk`` on an ``hdfs://`` output reported
+"empty" and the append silently overwrote prior runs). Atomicity caveat,
+stated honestly: the swap protocol's crash-window analysis assumes
+``rename`` is atomic — true for POSIX and HDFS, FALSE for S3A-style object
+stores (rename = copy+delete). On object stores the keyed appends remain
+idempotent (the anti-join needs only list+read), but for the rewrite-minus
+swap prefer ``iceberg_table=`` — MERGE/DELETE commit via atomic snapshot
+instead of renames.
 """
 
 from __future__ import annotations
@@ -26,6 +41,160 @@ def _check_ident(table_ident: str) -> str:
     if not _IDENT_RE.match(table_ident):
         raise ValueError(f"invalid table identifier: {table_ident!r}")
     return table_ident
+
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+class _PosixFS:
+    """Bare local paths: plain os/shutil. POSIX rename is atomic."""
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def delete(self, path: str) -> None:
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def has_parquet_files(self, path: str) -> bool:
+        if not os.path.isdir(path):
+            return False
+        for root, _dirs, files in os.walk(path):
+            if "_temporary" in root:
+                continue
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as fh:
+            fh.write(text)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+
+class _HadoopFS:
+    """Scheme-qualified paths: the Hadoop FileSystem API over the active
+    session's JVM — works wherever Spark itself can read/write (HDFS, S3A,
+    file://, ...). ``file://`` URIs exercise this exact code path against
+    local disk, which is how the test suite proves it."""
+
+    def __init__(self, path: str):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"scheme-qualified path {path!r} needs an active "
+                "SparkSession (the Hadoop FileSystem rides the session JVM)"
+            )
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._fs = self._jpath(path).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def is_dir(self, path: str) -> bool:
+        p = self._jpath(path)
+        return bool(
+            self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory()
+        )
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._jpath(path)))
+
+    def rename(self, src: str, dst: str) -> None:
+        # Hadoop rename onto an EXISTING directory moves src INTO it (mv
+        # semantics) — the swap protocol only ever renames onto a missing
+        # target, so guard and fail loud rather than nest silently. A False
+        # return (src missing, cross-FS, ...) is likewise an error: every
+        # caller relies on the rename having happened.
+        d = self._jpath(dst)
+        if self._fs.exists(d):
+            raise OSError(f"rename target already exists: {dst}")
+        try:
+            ok = self._fs.rename(self._jpath(src), d)
+        except Exception as ex:  # some FS impls throw instead of False
+            raise OSError(f"hadoop rename failed: {src} -> {dst}") from ex
+        if not ok:
+            raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), True)  # recursive; no-op if gone
+
+    def has_parquet_files(self, path: str) -> bool:
+        if not self.is_dir(path):
+            return False
+        it = self._fs.listFiles(self._jpath(path), True)
+        while it.hasNext():
+            uri = it.next().getPath().toString()
+            if "_temporary" in uri:
+                continue
+            if uri.endswith(".parquet"):
+                return True
+        return False
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._jpath(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+
+_POSIX = _PosixFS()
+
+
+def _fs(path: str):
+    """Route a path to its filesystem adapter (see module docstring)."""
+    return _HadoopFS(path) if _SCHEME_RE.match(path) else _POSIX
+
+
+def marker_read(path: str) -> str | None:
+    """Read a small marker file; None when absent. Scheme-aware."""
+    fs = _fs(path)
+    return fs.read_text(path) if fs.exists(path) else None
+
+
+def marker_write(path: str, text: str = "") -> None:
+    """Write (overwrite) a small marker file. Scheme-aware."""
+    _fs(path).write_text(path, text)
+
+
+def marker_remove(path: str) -> None:
+    """Remove a marker file if present. Scheme-aware."""
+    fs = _fs(path)
+    if fs.exists(path):
+        fs.delete(path)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -98,26 +267,18 @@ def idempotent_append(
 
 
 def _has_parquet_files(path: str) -> bool:
-    if not os.path.isdir(path):
-        return False
-    for root, _dirs, files in os.walk(path):
-        if "_temporary" in root:
-            continue
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    return _fs(path).has_parquet_files(path)
 
 
 def truncate(path: str) -> None:
     """Reference reset_collection (src/storage/postgres.py:364-372)."""
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
+    _fs(path).delete(path)
 
 
 def _recover_swap(path: str) -> None:
     """Heal an interrupted rewrite-minus swap (see _swap_in for the protocol).
-    Every step of the swap is an atomic os.rename, so the crash windows are:
+    Every step of the swap is one rename (atomic on POSIX and HDFS; see
+    the module docstring for object stores), so the crash windows are:
 
     - ``.old`` exists, target missing: crashed between rename(path→old) and
       rename(tmp→path). If the tmp is a COMPLETE write (_SUCCESS), the swap
@@ -131,35 +292,39 @@ def _recover_swap(path: str) -> None:
     - no ``.old``, target missing, complete tmp: first-ever write crashed
       between tmp completion and swap start with nothing to back up — adopt.
     """
+    fs = _fs(path)
     tmp = path + ".tmp"
     old = path + ".old"
-    if os.path.isdir(old):
-        if not os.path.isdir(path):
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                os.rename(tmp, path)
+    if fs.is_dir(old):
+        if not fs.is_dir(path):
+            if fs.exists(tmp + "/_SUCCESS"):
+                fs.rename(tmp, path)
             else:
-                truncate(tmp)
-                os.rename(old, path)
+                fs.delete(tmp)
+                fs.rename(old, path)
                 return
-        truncate(old)
-    if not os.path.isdir(tmp):
+        fs.delete(old)
+    if not fs.is_dir(tmp):
         return
-    if not os.path.isdir(path) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        os.rename(tmp, path)
+    if not fs.is_dir(path) and fs.exists(tmp + "/_SUCCESS"):
+        fs.rename(tmp, path)
     else:
-        truncate(tmp)
+        fs.delete(tmp)
 
 
 def _swap_in(path: str) -> None:
     """Atomic-rename swap: never a window where the only complete copy can
     be discarded. rename(path→path.old) and rename(tmp→path) are each atomic;
     a crash anywhere is healed by _recover_swap (which adopts the tmp whenever
-    ``.old`` exists and the target is gone, instead of treating it as stale)."""
+    ``.old`` exists and the target is gone, instead of treating it as stale).
+    On filesystems without atomic rename (S3A) prefer the Iceberg path —
+    see the module docstring."""
+    fs = _fs(path)
     old = path + ".old"
-    if os.path.isdir(path):
-        os.rename(path, old)
-    os.rename(path + ".tmp", path)
-    truncate(old)
+    if fs.is_dir(path):
+        fs.rename(path, old)
+    fs.rename(path + ".tmp", path)
+    fs.delete(old)
 
 
 def delete_document(spark: SparkSession, path: str, doc_id: str) -> None:

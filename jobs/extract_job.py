@@ -15,11 +15,13 @@ Outputs under --output:
 --resume anti-joins the existing lineage (status=processed) so a killed run
 re-does only unfinished documents (E16, reference postgres.py:253-262).
 
---output must be a LOCAL (POSIX) filesystem path: the exactly-once
-machinery (idempotent_append existence probe, _reingest_pending marker,
-rename-based swap recovery) uses os.* — on HDFS/S3 the probe reports
-"empty" and silently overwrites prior runs. For remote warehouses use
---format iceberg against a real catalog (MERGE INTO carries idempotence).
+--output may be a bare local path OR any scheme-qualified URI Spark can
+write (hdfs://, s3a://, file://): the exactly-once machinery (existence
+probe, _reingest_pending marker, swap recovery) dispatches per path —
+POSIX os.* for bare paths, the Hadoop FileSystem API for URIs (see the
+sources/sinks.py module docstring). The rewrite-minus swap in delete_docs
+needs atomic rename (POSIX/HDFS yes, S3A no) — on object stores prefer
+--format iceberg so row replacement commits via atomic snapshot.
 """
 
 from __future__ import annotations
@@ -95,8 +97,14 @@ def main() -> None:
     # those docs forever. The marker forces the operator to finish what was
     # started (the modified-predicate recomputes the same redo set, deletes
     # are idempotent, and the run converges).
+    from docling_rag_spark.sources.sinks import (
+        marker_read,
+        marker_remove,
+        marker_write,
+    )
+
     pending_marker = os.path.join(args.output, "_reingest_pending")
-    if os.path.exists(pending_marker) and not args.reingest_modified:
+    if marker_read(pending_marker) is not None and not args.reingest_modified:
         raise SystemExit(
             "a previous --reingest-modified run was interrupted mid-replace; "
             "rerun with --resume --reingest-modified to converge"
@@ -120,7 +128,7 @@ def main() -> None:
             todo.select("doc_id").join(done_ids, "doc_id", "left_semi")
         ).localCheckpoint(eager=True)
         if redo_ids.limit(1).count() > 0:
-            open(pending_marker, "w").close()
+            marker_write(pending_marker)
             for sub in ("extracted_spans", "chunks", "doc_metadata"):
                 delete_docs(spark, os.path.join(args.output, sub), redo_ids)
     from datetime import datetime, timezone
@@ -157,8 +165,7 @@ def main() -> None:
         spark, meta, os.path.join(args.output, "doc_metadata"), key="doc_id"
     )
     idempotent_append(spark, lineage, lineage_dir, key=["run_id", "doc_id"])
-    if os.path.exists(pending_marker):
-        os.remove(pending_marker)  # replacement fully committed
+    marker_remove(pending_marker)  # replacement fully committed
 
     n = lineage.sparkSession.read.parquet(lineage_dir)
     from pyspark.sql import functions as F

@@ -34,13 +34,15 @@ Outputs under --output:
                        from its input being the idempotent
                        selected_chunks table.
 
---output must be a LOCAL (POSIX) filesystem path: the exactly-once
-machinery underneath (idempotent_append's existence probe, the pack swap's
-atomic rename, crash-window recovery) walks and renames with os.* — on an
-HDFS/S3 output the probe would report "empty" and silently overwrite prior
-runs, and the rename swap would fail after doing the work. For remote
-warehouses use --format iceberg against a real catalog, where MERGE INTO
-carries the idempotence instead (sources/sinks.py:35-80).
+--output may be a bare local path OR any scheme-qualified URI Spark can
+write (hdfs://, s3a://, file://): the exactly-once machinery (existence
+probe, pack swap, marker IO) dispatches per path — POSIX os.* for bare
+paths, the Hadoop FileSystem API for URIs (sources/sinks.py module
+docstring; the file:// round-trip is regression-tested). One caveat
+carries over from Hadoop itself: the pack swap's crash analysis needs
+atomic rename, which object stores (S3A) do not provide — there the keyed
+appends stay idempotent, but prefer --format iceberg so replacement
+commits via atomic snapshot (MERGE INTO / DELETE, sources/sinks.py:35-80).
 
 Exactly-once across crashes mirrors extract_job: selected_chunks is an
 idempotent keyed append (key=id), the lineage COMMIT is written LAST — a
@@ -164,7 +166,12 @@ def main() -> None:
 
     if args.pack:
         from docling_rag_spark.operators.training_set import pack_chunks
-        from docling_rag_spark.sources.sinks import _recover_swap, _swap_in
+        from docling_rag_spark.sources.sinks import (
+            _recover_swap,
+            _swap_in,
+            marker_read,
+            marker_write,
+        )
 
         pack_dir = os.path.join(args.output, "packed_sequences")
         marker = os.path.join(pack_dir, "_PACKED_N")
@@ -183,9 +190,10 @@ def main() -> None:
         # docs) while packed_sequences still reflects the PREVIOUS commit —
         # the marker mismatch forces the repack that heals that window.
         packed_n = None
-        if _has_parquet_files(pack_dir) and os.path.isfile(marker):
-            with open(marker) as fh:
-                packed_n = int(fh.read().strip() or "-1")
+        if _has_parquet_files(pack_dir):
+            txt = marker_read(marker)
+            if txt is not None:
+                packed_n = int(txt.strip() or "-1")
         if this_run == 0 and packed_n == n_committed:
             print(
                 f"select_job --pack: committed set unchanged "
@@ -201,8 +209,9 @@ def main() -> None:
             pack_chunks(committed).write.mode("overwrite").parquet(
                 pack_dir + ".tmp"
             )
-            with open(os.path.join(pack_dir + ".tmp", "_PACKED_N"), "w") as fh:
-                fh.write(str(n_committed))
+            marker_write(
+                os.path.join(pack_dir + ".tmp", "_PACKED_N"), str(n_committed)
+            )
             _swap_in(pack_dir)
     print(
         f"select_job done run_id={run_id} docs_this_run={this_run} "
