@@ -61,6 +61,7 @@ HEADLINE = [
     "span_boilerplate",
     "span_intra_dedup",
     "doc_keywords",
+    "lm_perplexity",
     "pricing_summary",
     "revenue_by_nation",
     "latest_event_per_user",

@@ -632,5 +632,153 @@ select doc_id,
 from scored
 """
 
-EXTRA_QUERIES = {"quality_classifier": quality_classifier}
-EXTRA_ORACLES = {"quality_classifier": QUALITY_CLASSIFIER_SQL}
+# --------------------------------------------------------------------------
+# CCNet-style LM perplexity filter (round 6). CCNet (Wenzek et al. 2020)
+# scores every crawled doc with a KenLM 5-gram model trained on a clean
+# reference corpus and keeps/buckets by perplexity; the sandbox has no
+# KenLM, so the model here is a bigram LM with add-one smoothing trained
+# IN-ENGINE on a deterministic reference slice of the corpus itself
+# (doc_id % LM_REF_MOD == 0 — the stand-in for "the Wikipedia model"; in
+# production the model table is simply read from its own source). The
+# whole thing is relational, so the expensive parts are exactly the shapes
+# already benchmarked:
+#   - ONE bigram explode → map-combined groupBy(doc_id, w1, w2) — the
+#     only corpus-sized shuffle, compressed to distinct bigrams per doc;
+#   - model tables derived FROM that compressed frame (filter slice →
+#     groupBy(w1,w2) / groupBy(w1)) — map-combined, vocab-sized output;
+#   - score = LEFT equi-joins doc-bigrams → model. The model side is
+#     vocab-sized (sublinear but UNBOUNDED in the corpus), so no forced
+#     broadcast — AQE decides, and the hot-context key ("the" as w1) is
+#     join-skew-splittable, unlike a window partition;
+#   - per-doc agg on doc_id.
+# V (reference vocab) is a single-row aggregate — the sanctioned
+# broadcast-stats class (BM25 pattern). Docs with <2 tokens carry
+# n_bigrams=0 and NULL scores (never silently dropped). keep follows
+# CCNet's "below-threshold" rule on the smoothed NLL; the production
+# knob is the head/middle/tail percentile split, same plan shape.
+# --------------------------------------------------------------------------
+LM_REF_MOD = 10
+# threshold sits inside the synthetic corpus's nll band (3.16-4.03 at
+# sf0.01) so both keep outcomes are exercised by every oracle run
+LM_NLL_KEEP_MAX = 3.6
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text"), lower=True).alias("arr")
+    )
+    # adjacent-pair structs; sequence(1, n-1) must be guarded — Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = F.when(
+        F.size("arr") < 2, F.lit(None).cast(pair_t)
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(arr) - 1),"
+            " i -> struct(arr[i-1] as w1, arr[i] as w2))"
+        )
+    )
+    big = (
+        toks.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    is_ref = F.col("doc_id") % LM_REF_MOD == 0
+    m2 = (
+        big.filter(is_ref)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c2"))
+    )
+    # context counts from the bigram table itself (sum over w2), so the
+    # smoothed probabilities sum to 1 per context by construction
+    m1 = m2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        toks.filter(is_ref)
+        .select(F.explode("arr").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = (
+        big.join(m2, ["w1", "w2"], "left")
+        .join(m1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                )
+            ).alias("ll"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            (-F.sum("ll") / F.sum("cnt")).alias("raw_nll"),
+        )
+    )
+    out = docs.select("doc_id").join(scored, "doc_id", "left")
+    nll = F.round(F.col("raw_nll"), 6)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        nll.alias("nll"),
+        F.round(F.exp(F.col("raw_nll")), 6).alias("ppl"),
+        F.coalesce(nll <= LM_NLL_KEEP_MAX, F.lit(False)).alias("keep"),
+    )
+
+
+LM_PERPLEXITY_SQL = f"""
+with toks as (
+  select doc_id, {dsql.tokens_sql('text', lower=True)} as arr from documents
+),
+big0 as (
+  select doc_id, unnest(range(1, len(arr))) as i, arr
+  from toks where len(arr) >= 2
+),
+big as (
+  select doc_id, arr[i] as w1, arr[i + 1] as w2, count(*) as cnt
+  from big0 group by doc_id, arr[i], arr[i + 1]
+),
+m2 as (
+  select w1, w2, sum(cnt) as c2 from big
+  where doc_id % {LM_REF_MOD} = 0 group by w1, w2
+),
+m1 as (select w1, sum(c2) as c1 from m2 group by w1),
+vocab as (
+  select count(distinct t) as v from (
+    select unnest(arr) as t from toks where doc_id % {LM_REF_MOD} = 0
+  )
+),
+scored as (
+  select b.doc_id, sum(b.cnt) as n_bigrams,
+         -sum(b.cnt * ln((coalesce(m2.c2, 0) + 1.0)
+                         / (coalesce(m1.c1, 0) + vocab.v)))
+           / sum(b.cnt) as raw_nll
+  from big b
+  left join m2 on b.w1 = m2.w1 and b.w2 = m2.w2
+  left join m1 on b.w1 = m1.w1
+  cross join vocab
+  group by b.doc_id
+)
+select d.doc_id,
+       coalesce(s.n_bigrams, 0)::bigint as n_bigrams,
+       round(s.raw_nll, 6) as nll,
+       round(exp(s.raw_nll), 6) as ppl,
+       coalesce(round(s.raw_nll, 6) <= {LM_NLL_KEEP_MAX}, false) as keep
+from documents d left join scored s on d.doc_id = s.doc_id
+"""
+
+EXTRA_QUERIES = {
+    "quality_classifier": quality_classifier,
+    "lm_perplexity": lm_perplexity,
+}
+EXTRA_ORACLES = {
+    "quality_classifier": QUALITY_CLASSIFIER_SQL,
+    "lm_perplexity": LM_PERPLEXITY_SQL,
+}

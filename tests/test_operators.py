@@ -1029,6 +1029,63 @@ def test_quality_classifier_plan_pure_projection(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_lm_perplexity_plan_no_window_model_joined_not_forced(spark):
+    """CCNet-style perplexity scoring: the model lookup must be equi-JOINs
+    on the bigram/context keys (AQE-skew-splittable for hot contexts like
+    'the'), never a Window over a token key; no cartesian over doc rows
+    (the only nested-loop allowed is the single-row vocab broadcast); and
+    the model sides carry no forced broadcast — vocab grows with the
+    corpus, so the choice belongs to AQE (module policy). Source-level
+    pin: the only F.broadcast in lm_perplexity is on the single-row vocab
+    aggregate."""
+    import ast
+    import inspect
+    import re
+
+    from docling_rag_spark.operators import textstats
+    from docling_rag_spark.operators.textstats import lm_perplexity
+
+    plan = _formatted_plan(lm_perplexity(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"\bWindow \[", plan)
+    # one BroadcastNestedLoopJoin max: the single-row vocab cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    src = inspect.getsource(textstats)
+    tree = ast.parse(src)
+    fn = next(
+        n
+        for n in ast.walk(tree)
+        if isinstance(n, ast.FunctionDef) and n.name == "lm_perplexity"
+    )
+    calls = [
+        n
+        for n in ast.walk(fn)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Attribute)
+        and n.func.attr == "broadcast"
+    ]
+    assert len(calls) == 1  # the vocab single-row aggregate only
+
+
+def test_lm_perplexity_reference_slice_scores_lower(spark):
+    """Sanity the semantics, not just the SQL parity: reference-slice docs
+    are in-model by construction, so their median smoothed NLL must sit at
+    or below the out-of-slice median, and both keep outcomes must appear
+    under the pinned threshold."""
+    import statistics
+
+    from docling_rag_spark.operators.textstats import LM_REF_MOD, lm_perplexity
+
+    rows = lm_perplexity(spark, SF).collect()
+    ref = [r["nll"] for r in rows if r["doc_id"] % LM_REF_MOD == 0 and r["nll"]]
+    rest = [r["nll"] for r in rows if r["doc_id"] % LM_REF_MOD != 0 and r["nll"]]
+    assert ref and rest
+    assert statistics.median(ref) <= statistics.median(rest)
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {True, False}
+
+
 def test_decontaminate_bloom_no_false_negatives(spark):
     """The Bloom audit may over-flag (false positives are the Bloom trade)
     but must NEVER under-flag: every distinct gram the exact join reports
