@@ -681,6 +681,19 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> struct(arr[i-1] as w1, arr[i] as w2))"
         )
     )
+    # the compressed bigram frame feeds THREE consumers (doc scoring, the
+    # m2 model agg, and m1 via m2) and Catalyst does NOT CSE the subtree
+    # across join branches (the is_ref pushdown makes the slice branches'
+    # exchanges differ from the doc side's, so ReuseExchange can't fire).
+    # Measured at sf0.1 (interleaved, 5 reps): no-cache 0.542s / cache(big)
+    # 0.525s / cache(m2) 0.534s — a wash locally, so the shape is chosen
+    # for 100 TB: caching `big` persists a CORPUS-sized frame (unbounded
+    # executor storage), while caching `m2` persists a VOCAB-sized model
+    # and still collapses the duplicated reference-slice subtree (scan →
+    # tokenize → explode → two groupBys) that would otherwise run again
+    # for m1. The remaining duplicate work is one pushed-down 1/LM_REF_MOD
+    # slice scan for vocab — bounded and cheap relative to any persist of
+    # corpus-scale data. Cache released via scoped_cache on result drop.
     big = (
         toks.select("doc_id", F.explode(pairs).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
@@ -692,6 +705,7 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.filter(is_ref)
         .groupBy("w1", "w2")
         .agg(F.sum("cnt").alias("c2"))
+        .cache()
     )
     # context counts from the bigram table itself (sum over w2), so the
     # smoothed probabilities sum to 1 per context by construction
@@ -724,12 +738,17 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = docs.select("doc_id").join(scored, "doc_id", "left")
     nll = F.round(F.col("raw_nll"), 6)
-    return out.select(
-        "doc_id",
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        nll.alias("nll"),
-        F.round(F.exp(F.col("raw_nll")), 6).alias("ppl"),
-        F.coalesce(nll <= LM_NLL_KEEP_MAX, F.lit(False)).alias("keep"),
+    from .common import scoped_cache
+
+    return scoped_cache(
+        out.select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            nll.alias("nll"),
+            F.round(F.exp(F.col("raw_nll")), 6).alias("ppl"),
+            F.coalesce(nll <= LM_NLL_KEEP_MAX, F.lit(False)).alias("keep"),
+        ),
+        m2,
     )
 
 
