@@ -960,6 +960,87 @@ from scored s left join dropped d using (vec_id)
 
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
+
+# --------------------------------------------------------------------------
+# SSL-prototypes diversification (Sorscher et al. 2022, arXiv:2206.14486;
+# runs as the pruning stage AFTER SemDeDup in D4, Tirumala et al. 2023,
+# arXiv:2308.12284): within each k-means cell, the vectors MOST similar to
+# their centroid are the prototypical mass the model learns fastest and
+# gains least from — drop the top PROTO_DROP_FRAC of each cell by centroid
+# cosine, keep the hard/diverse tail. Complementary to semantic_dedup
+# (which removes mutual near-copies): this prunes REGIONS, not pairs.
+#
+# Shape: the cluster structure is the same PERSISTED IVF index (one
+# training cost amortized across knn_ivf / semantic_dedup / this). The
+# per-cell rank is a window partitioned by cell — the bounded-partition
+# class (K grows with the corpus, K ≈ n / target_cell_size, exactly the
+# semantic_dedup sizing argument), NOT the unbounded-key class the window
+# ban targets — so the whole operator is ONE hash exchange on cell; the
+# cell population count rides the same partition (no second scan, no
+# join-back needed for a bounded key). Centroid join broadcasts K rows
+# (the sanctioned K-centroid class). drop_n = floor(frac·n): a cell too
+# small to contain a whole prototypical fraction keeps everything.
+# --------------------------------------------------------------------------
+PROTO_DROP_FRAC = 0.25
+
+
+def diversify_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector diversification verdict: (vec_id, cell, centroid_sim,
+    keep). keep = false for the floor(PROTO_DROP_FRAC·|cell|) members
+    ranked most centroid-similar (ties → lower vec_id drops first)."""
+    from pyspark.sql.window import Window
+
+    assigned, cents = _ivf_index(spark, sf_dir)
+    cents_df = _centroids_df(spark, cents)
+    csim = _dot(F.col("embedding"), F.col("cvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cvec"))
+    )
+    scored = assigned.join(
+        F.broadcast(cents_df), F.col("cell") == F.col("cid")
+    ).select("vec_id", "cell", csim.alias("csim"))
+    # rank and population over the SAME cell partition: one exchange, two
+    # window functions. Ordering compares the raw double (both engines run
+    # the identical in-order left-fold dot product — the equality the IVF
+    # assignment already relies on); output rounds to 6 dp as usual.
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("csim").desc(), F.col("vec_id")
+    )
+    w_cell = Window.partitionBy("cell")
+    return scored.select(
+        "vec_id",
+        "cell",
+        F.round("csim", 6).alias("centroid_sim"),
+        (
+            F.row_number().over(w_rank)
+            > F.floor(F.lit(PROTO_DROP_FRAC) * F.count("*").over(w_cell))
+        ).alias("keep"),
+    )
+
+
+def _diversify_prototypes_sql() -> str:
+    parts, prev = _trained_assign_parts()
+    ctes = ",\n".join(parts)
+    csim = (
+        f"{_dot_sql('a.embedding', 'c.cvec')}"
+        f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_sql('c.cvec', 'c.cvec')}))"
+    )
+    return f"""
+with {ctes},
+scored as materialized (
+  select a.vec_id, a.cell, {csim} as csim
+  from assigned a join {prev} c on a.cell = c.cid
+)
+select vec_id, cell, round(csim, 6) as centroid_sim,
+       (row_number() over (partition by cell order by csim desc, vec_id)
+        > floor({PROTO_DROP_FRAC} * (count(*) over (partition by cell))))
+         as keep
+from scored
+"""
+
+
+DIVERSIFY_PROTOTYPES_SQL = _diversify_prototypes_sql()
+
 QUERIES["knn_ivf"] = knn_ivf
 QUERIES["knn_ivf_batch"] = knn_ivf_batch
 QUERIES["dedup_embedding"] = embedding_near_dup
@@ -970,3 +1051,5 @@ EXTRA_QUERIES["knn_ivf_probe2"] = knn_ivf_probe2
 EXTRA_ORACLES["knn_ivf_probe2"] = _knn_ivf_sql(nprobe=2)
 EXTRA_QUERIES["dedup_semantic"] = semantic_dedup
 EXTRA_ORACLES["dedup_semantic"] = SEMANTIC_DEDUP_SQL
+EXTRA_QUERIES["diversify_prototypes"] = diversify_prototypes
+EXTRA_ORACLES["diversify_prototypes"] = DIVERSIFY_PROTOTYPES_SQL

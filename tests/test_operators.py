@@ -1203,3 +1203,58 @@ def test_token_budget_select_plan_windows_are_bounded(spark):
             assert part_cols == ["source", "sb", "jb"], w
             assert "sum(n_tokens#" in funcs, w
     assert "CartesianProduct" not in plan
+
+
+def test_diversify_prototypes_plan_one_exchange_shared_window(spark):
+    """SSL-prototypes pruning: rank and cell population must ride ONE hash
+    exchange on cell (two Window operators over the same bounded-partition
+    key — never a second scan or a join-back for the count), the only
+    broadcast is the K-row centroid table, and no cartesian/SMJ anywhere."""
+    from docling_rag_spark.operators.similarity import diversify_prototypes
+
+    plan = _formatted_plan(diversify_prototypes(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "cell#" in hash_exchanges[0]
+    # two window operators (row_number + count), both partitioned by cell
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 2, plan
+    for ln in win_lines:
+        assert "cell#" in ln.split("], [", 1)[1], ln
+
+
+def test_diversify_prototypes_drops_exact_fraction_per_cell(spark):
+    """Semantics, not just SQL parity: each cell drops exactly
+    floor(PROTO_DROP_FRAC * |cell|) members, and every dropped member is
+    at least as centroid-similar as every kept member of its cell (ties
+    resolved by vec_id, lower drops first)."""
+    import math
+    from collections import defaultdict
+
+    from docling_rag_spark.operators.similarity import (
+        PROTO_DROP_FRAC,
+        diversify_prototypes,
+    )
+
+    rows = diversify_prototypes(spark, SF).collect()
+    assert rows
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r["cell"]].append(r)
+    assert any(not r["keep"] for r in rows)  # the fraction actually bites
+    for cell, members in cells.items():
+        dropped = sorted(
+            (r for r in members if not r["keep"]),
+            key=lambda r: (-r["centroid_sim"], r["vec_id"]),
+        )
+        kept = [r for r in members if r["keep"]]
+        assert len(dropped) == math.floor(PROTO_DROP_FRAC * len(members))
+        if dropped and kept:
+            worst_dropped = min(r["centroid_sim"] for r in dropped)
+            best_kept = max(r["centroid_sim"] for r in kept)
+            assert worst_dropped >= best_kept
