@@ -1014,6 +1014,168 @@ from cum
 
 PACK_SEQUENCES_SQL = _pack_sequences_sql()
 
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via hashed-n-gram importance resampling (Xie et
+# al. 2023, arXiv:2302.03169): per-doc importance = mean log-ratio of a
+# TARGET-domain hashed-bigram LM over the RAW-corpus LM. The contrastive
+# complement to lm_perplexity (one model scores fluency; the ratio scores
+# domain match). Target stand-in: doc_id % DSIR_TARGET_MOD == 0 (in
+# production the target sample is read from its own table and feeds the
+# same plan).
+#
+# Scale shape — the whole point of DSIR's hashing: the model is
+# STRUCTURALLY bounded at DSIR_BUCKETS rows regardless of corpus size, so
+# every model-side join is a sanctioned bounded broadcast (the bloom-
+# bitmap class) and training-doc rows NEVER shuffle on a feature key.
+# Raw and target counts come from ONE aggregation over the per-doc
+# feature frame (sum + conditional sum — no differing filter pushdown),
+# which lets AQE's ReusedExchange serve both the model build and the
+# scoring side from a single corpus pass (verified in the final adaptive
+# plan; the lm_perplexity branches can't reuse precisely because their
+# slice filter pushes down differently).
+#
+# keep is relative (score >= corpus mean) rather than a pinned constant:
+# the smoothed log-ratio's absolute level moves with corpus size (the +1/
+# +B smoothing dominates small corpora), while "more target-like than the
+# average doc" is scale-free — and it is DSIR's actual decision rule
+# (resample ∝ importance) reduced to a deterministic cut. Docs with <2
+# tokens carry n_feats=0 and NULL score, kept=false (never dropped).
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 8192
+DSIR_TARGET_MOD = 10
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text"), lower=True).alias("arr")
+    )
+    # adjacent-pair structs; sequence(1, 0) would yield DESCENDING [1, 0]
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = F.when(
+        F.size("arr") < 2, F.lit(None).cast(pair_t)
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(arr) - 1),"
+            " i -> struct(arr[i-1] as w1, arr[i] as w2))"
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    feat = (
+        toks.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    is_target = F.col("doc_id") % DSIR_TARGET_MOD == 0
+    # raw + target counts in ONE pass (conditional sum, not a filter — a
+    # pushed-down filter would change this branch's exchange and defeat
+    # ReusedExchange); output bounded at DSIR_BUCKETS rows
+    bkt = feat.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+    )
+    tot = bkt.agg(F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot"))
+    smooth = F.lit(float(DSIR_BUCKETS))
+    # single-row sides stay unhinted per the module ban — AQE sizes them
+    weights = bkt.crossJoin(tot).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("t_tot") + smooth))
+            - F.log((F.col("cr") + 1.0) / (F.col("r_tot") + smooth))
+        ).alias("w"),
+    )
+    scored = (
+        # the ONE hint: structurally bounded (<= DSIR_BUCKETS weight
+        # rows, a compile-time constant — the bloom-bitmap class), and
+        # load-bearing for the same reason: the static size estimate
+        # derives from the corpus-sized exploded child, so a tight
+        # broadcast budget would plan SMJ and shuffle the training-doc
+        # feature rows on b before AQE could convert
+        feat.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            (F.sum(F.col("cnt") * F.col("w")) / F.sum("cnt")).alias(
+                "raw_score"
+            ),
+        )
+    )
+    mu = scored.agg(F.avg("raw_score").alias("mu"))
+    score6 = F.round(F.col("raw_score"), 6)
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(mu)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            score6.alias("score"),
+            F.coalesce(
+                score6 >= F.round(F.col("mu"), 6), F.lit(False)
+            ).alias("keep"),
+        )
+    )
+
+
+def _dsir_select_sql() -> str:
+    from .common import hexn_to_bigint_sql
+
+    h = hexn_to_bigint_sql("md5(arr[i] || ' ' || arr[i + 1])", 8)
+    return f"""
+with toks as (
+  select doc_id, {dsql.tokens_sql('text', lower=True)} as arr from documents
+),
+big0 as (
+  select doc_id, unnest(range(1, len(arr))) as i, arr
+  from toks where len(arr) >= 2
+),
+feat as (
+  select doc_id, b, count(*) as cnt from (
+    select doc_id, {h} % {DSIR_BUCKETS} as b from big0
+  ) group by doc_id, b
+),
+bkt as (
+  select b, sum(cnt) as cr,
+         sum(case when doc_id % {DSIR_TARGET_MOD} = 0 then cnt else 0 end)
+           as ct
+  from feat group by b
+),
+tot as (select sum(cr) as r_tot, sum(ct) as t_tot from bkt),
+w as (
+  select b, ln((ct + 1.0) / (t_tot + {DSIR_BUCKETS}.0))
+            - ln((cr + 1.0) / (r_tot + {DSIR_BUCKETS}.0)) as w
+  from bkt cross join tot
+),
+scored as (
+  select f.doc_id, sum(f.cnt) as n_feats,
+         sum(f.cnt * w.w) / sum(f.cnt) as raw_score
+  from feat f join w using (b) group by f.doc_id
+),
+m as (select avg(raw_score) as mu from scored)
+select d.doc_id, coalesce(s.n_feats, 0)::bigint as n_feats,
+       round(s.raw_score, 6) as score,
+       coalesce(round(s.raw_score, 6) >= round(m.mu, 6), false) as keep
+from documents d left join scored s using (doc_id) cross join m
+"""
+
+
+DSIR_SELECT_SQL = _dsir_select_sql()
+
 EXTRA_QUERIES = {
     "mixture_sample": mixture_sample,
     "pack_sequences": pack_sequences,
@@ -1021,6 +1183,7 @@ EXTRA_QUERIES = {
     "decontaminate_bloom": decontaminate_bloom,
     "temperature_sample": temperature_sample,
     "token_budget_select": token_budget_select,
+    "dsir_select": dsir_select,
 }
 EXTRA_ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
@@ -1029,4 +1192,5 @@ EXTRA_ORACLES = {
     "decontaminate_bloom": _decontaminate_bloom_sql(),
     "temperature_sample": TEMPERATURE_SAMPLE_SQL,
     "token_budget_select": _token_budget_select_sql(),
+    "dsir_select": DSIR_SELECT_SQL,
 }

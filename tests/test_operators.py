@@ -377,15 +377,17 @@ def test_training_set_has_no_forced_broadcast_hints(spark):
     training_set.py carries a forced F.broadcast() hint — every anti-join
     build side there (dup-set, contaminated-set, eval grams) grows
     linearly with the corpus, so the choice belongs to AQE at runtime.
-    The single sanctioned exception is decontaminate_bloom's bitmap: its
-    row count is bounded by the BLOOM_WORDS constant (the K-centroid
-    class), and the hint there is load-bearing (the static size estimate
-    derives from the unbounded exploded-eval child — without the hint a
-    tight broadcast budget plans SMJ and map-writes the training grams 4×;
-    measured in tools/bloom_crossover.py). Source-level pin plus the
-    behavioral half: at sandbox scale AQE must still converge every join
-    of the chunk flagship to broadcast (no sort-merge join, no forced hint
-    needed)."""
+    The sanctioned exceptions are STRUCTURALLY bounded build sides whose
+    static size estimate derives from an unbounded child (the K-centroid
+    class): decontaminate_bloom's bitmap (row count bounded by the
+    BLOOM_WORDS constant; without the hint a tight broadcast budget plans
+    SMJ and map-writes the training grams 4× — measured in
+    tools/bloom_crossover.py) and dsir_select's weight table (bounded by
+    the DSIR_BUCKETS constant, same estimate problem — its child is the
+    corpus-sized exploded-bigram frame). Exactly ONE hint in each.
+    Source-level pin plus the behavioral half: at sandbox scale AQE must
+    still converge every join of the chunk flagship to broadcast (no
+    sort-merge join, no forced hint needed)."""
     import ast
     import inspect
 
@@ -393,10 +395,23 @@ def test_training_set_has_no_forced_broadcast_hints(spark):
     from docling_rag_spark.operators.training_set import training_subset_chunks
 
     tree = ast.parse(inspect.getsource(training_set))
+    sanctioned = {"decontaminate_bloom": None, "dsir_select": 1}
     allowed = set()
     for fn in ast.walk(tree):
-        if isinstance(fn, ast.FunctionDef) and fn.name == "decontaminate_bloom":
-            allowed = {id(n) for n in ast.walk(fn)}
+        if isinstance(fn, ast.FunctionDef) and fn.name in sanctioned:
+            nodes = {
+                id(n)
+                for n in ast.walk(fn)
+                if isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr == "broadcast"
+            }
+            cap = sanctioned[fn.name]
+            if cap is not None:
+                assert len(nodes) <= cap, (
+                    f"{fn.name} may carry at most {cap} broadcast hint(s)"
+                )
+            allowed |= nodes
     calls = [
         n
         for n in ast.walk(tree)
@@ -1258,3 +1273,47 @@ def test_diversify_prototypes_drops_exact_fraction_per_cell(spark):
             worst_dropped = min(r["centroid_sim"] for r in dropped)
             best_kept = max(r["centroid_sim"] for r in kept)
             assert worst_dropped >= best_kept
+
+
+def test_dsir_select_plan_reused_exchange_one_corpus_pass(spark):
+    """DSIR: raw and target bucket counts come from ONE aggregation
+    (conditional sum, not a filter), so the FINAL adaptive plan must serve
+    the model build and the scoring side from the SAME corpus shuffle —
+    assert a ReusedExchange/reused stage is present, the weight join is a
+    broadcast (structurally bounded at DSIR_BUCKETS rows), and training
+    rows never sort-merge on the feature key b."""
+    from docling_rag_spark.operators.training_set import dsir_select
+
+    df = dsir_select(spark, SF)
+    df.collect()
+    plan = _formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and "[b#" in line:
+            raise AssertionError(f"feature key must broadcast, not SMJ: {line}")
+
+
+def test_dsir_select_target_slice_scores_higher(spark):
+    """Semantics: the target slice defines the numerator LM, so its docs
+    must keep at a strictly higher rate than out-of-slice docs, both keep
+    outcomes must occur, and <2-token docs survive with n_feats=0 and a
+    NULL score (never silently dropped)."""
+    from docling_rag_spark.operators.training_set import (
+        DSIR_TARGET_MOD,
+        dsir_select,
+    )
+
+    rows = dsir_select(spark, SF).collect()
+    assert rows
+    t = [r for r in rows if r["doc_id"] % DSIR_TARGET_MOD == 0]
+    o = [r for r in rows if r["doc_id"] % DSIR_TARGET_MOD != 0]
+    assert t and o
+    t_rate = sum(r["keep"] for r in t) / len(t)
+    o_rate = sum(r["keep"] for r in o) / len(o)
+    assert t_rate > o_rate
+    assert {r["keep"] for r in rows} == {True, False}
+    for r in rows:
+        if r["n_feats"] == 0:
+            assert r["score"] is None and not r["keep"]
