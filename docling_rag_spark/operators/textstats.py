@@ -663,7 +663,14 @@ LM_REF_MOD = 10
 LM_NLL_KEEP_MAX = 3.6
 
 
-def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lm_scored_frame(
+    spark: SparkSession, sf_dir: str, extra_doc_cols: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """lm_perplexity's core, shared with ccnet_buckets: returns the
+    docs ⟕ per-doc-NLL frame (plus ``extra_doc_cols`` carried through the
+    one existing doc join — threading ``lang`` here is free, where a
+    second corpus-sized doc_id join in the caller would not be) and the
+    vocab-sized cached m2 model frame for the caller's scoped_cache."""
     from ..functions.text import tokens_col
 
     docs = table(spark, sf_dir, "documents")
@@ -736,23 +743,29 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum("ll") / F.sum("cnt")).alias("raw_nll"),
         )
     )
-    out = docs.select("doc_id").join(scored, "doc_id", "left")
+    out = docs.select("doc_id", *extra_doc_cols).join(scored, "doc_id", "left")
     nll = F.round(F.col("raw_nll"), 6)
+    frame = out.select(
+        "doc_id",
+        *extra_doc_cols,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        nll.alias("nll"),
+        F.round(F.exp(F.col("raw_nll")), 6).alias("ppl"),
+        F.coalesce(nll <= LM_NLL_KEEP_MAX, F.lit(False)).alias("keep"),
+    )
+    return frame, m2
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import scoped_cache
 
-    return scoped_cache(
-        out.select(
-            "doc_id",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            nll.alias("nll"),
-            F.round(F.exp(F.col("raw_nll")), 6).alias("ppl"),
-            F.coalesce(nll <= LM_NLL_KEEP_MAX, F.lit(False)).alias("keep"),
-        ),
-        m2,
-    )
+    frame, m2 = _lm_scored_frame(spark, sf_dir)
+    return scoped_cache(frame, m2)
 
 
-LM_PERPLEXITY_SQL = f"""
+# shared CTE chain (toks → … → scored), consumed by LM_PERPLEXITY_SQL and
+# CCNET_BUCKETS_SQL so the two oracles can never drift apart
+_LM_CORE_CTES = f"""
 with toks as (
   select doc_id, {dsql.tokens_sql('text', lower=True)} as arr from documents
 ),
@@ -784,7 +797,9 @@ scored as (
   left join m1 on b.w1 = m1.w1
   cross join vocab
   group by b.doc_id
-)
+)"""
+
+LM_PERPLEXITY_SQL = f"""{_LM_CORE_CTES}
 select d.doc_id,
        coalesce(s.n_bigrams, 0)::bigint as n_bigrams,
        round(s.raw_nll, 6) as nll,
@@ -793,11 +808,144 @@ select d.doc_id,
 from documents d left join scored s on d.doc_id = s.doc_id
 """
 
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (round 6): the stage CCNet actually
+# ships AFTER the perplexity score — per LANGUAGE, split the corpus into
+# perplexity tertiles (head = most-fluent third; production trains on
+# head+middle and drops or down-weights tail). Composes the lm_perplexity
+# scorer above with the token_budget_select histogram discipline:
+#   - per-doc NLL rides the ONE existing docs⟕scored join (lang threaded
+#     through _lm_scored_frame — no second corpus join);
+#   - tertile thresholds come from a QUANTIZED histogram: qb =
+#     clamp(floor(nll·CCNET_Q), 0, CCNET_QB_MAX) → groupBy(lang,
+#     qb) is map-combined over a STRUCTURALLY bounded key space (≤ langs ×
+#     CCNET_QB_MAX+1 cells), the cumulative window runs over those
+#     bounded histogram partitions (the sanctioned window class — never
+#     over doc rows: a per-lang doc window would funnel each language into
+#     one un-splittable sort task, the doc_keywords lesson);
+#   - NULL-nll docs (<2 tokens) ride the histogram as a zero-count group
+#     (conditional sum, NOT a filter — a pushed-down isnotnull on the
+#     histogram branch would differentiate the two consumers' scored
+#     subtrees and defeat ReusedExchange; with identical pruned branches
+#     the final adaptive plan serves the doc side and the histogram side
+#     from the SAME lm shuffles, plan-asserted) and come out with a NULL
+#     bucket (never silently dropped);
+#   - the threshold join back is the ONE broadcast hint this module's
+#     bounded-side policy sanctions (≤ #languages rows — the K-centroid
+#     class; its static estimate derives from the corpus-sized scored
+#     child, and the join key `lang` is the worst possible shuffle key:
+#     low-cardinality AND skewed, so doc rows must never hash on it).
+# Bucket rule at cell granularity (deterministic, oracle-exact): t1/t2 =
+# first cells where 3·cum ≥ n / ≥ 2n; a boundary cell goes wholly to the
+# better bucket — the same "threshold cell resolves coarsely" contract as
+# token_budget_select, which is also how CCNet applies its published
+# per-language cutoffs.
+# --------------------------------------------------------------------------
+CCNET_Q = 100  # nll quantization: 0.01-nll-wide histogram cells
+CCNET_QB_MAX = 2000  # clamp → the histogram is bounded by constants
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .common import scoped_cache
+
+    base, m2 = _lm_scored_frame(spark, sf_dir, extra_doc_cols=("lang",))
+    qb = F.least(
+        F.greatest(F.floor(F.col("nll") * CCNET_Q).cast("int"), F.lit(0)),
+        F.lit(CCNET_QB_MAX),
+    )
+    scored = base.select("doc_id", "lang", "nll", qb.alias("qb"))
+    hist = scored.groupBy("lang", "qb").agg(
+        F.sum(
+            F.when(F.col("qb").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hc = hist.select(
+        "lang",
+        "qb",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    thr = hc.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("qb").isNotNull() & (3 * F.col("cum") >= F.col("n")),
+                F.col("qb"),
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("qb").isNotNull()
+                & (3 * F.col("cum") >= 2 * F.col("n")),
+                F.col("qb"),
+            )
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(
+            F.col("qb").isNull() | F.col("t1").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("qb") <= F.col("t1"), F.lit("head"))
+        .when(F.col("qb") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = scored.join(F.broadcast(thr), "lang", "left").select(
+        "doc_id", "lang", "nll", bucket.alias("bucket")
+    )
+    return scoped_cache(out, m2)
+
+
+CCNET_BUCKETS_SQL = f"""{_LM_CORE_CTES},
+base as (
+  select d.doc_id, d.lang, round(s.raw_nll, 6) as nll
+  from documents d left join scored s on d.doc_id = s.doc_id
+),
+sc as (
+  select *,
+         least(greatest(cast(floor(nll * {CCNET_Q}) as int), 0),
+               {CCNET_QB_MAX}) as qb
+  from base
+),
+hist as (
+  select lang, qb,
+         sum(case when qb is not null then 1 else 0 end)::bigint as cnt
+  from sc group by 1, 2
+),
+hc as (
+  select *,
+         sum(cnt) over (partition by lang order by qb
+           rows between unbounded preceding and current row)::bigint as cum,
+         sum(cnt) over (partition by lang)::bigint as n
+  from hist
+),
+thr as (
+  select lang,
+         min(case when qb is not null and 3 * cum >= n then qb end) as t1,
+         min(case when qb is not null and 3 * cum >= 2 * n then qb end) as t2
+  from hc group by lang
+)
+select sc.doc_id, sc.lang, sc.nll,
+       case when sc.qb is null or t.t1 is null then null
+            when sc.qb <= t.t1 then 'head'
+            when sc.qb <= t.t2 then 'middle'
+            else 'tail' end as bucket
+from sc left join thr t using (lang)
+"""
+
 EXTRA_QUERIES = {
     "quality_classifier": quality_classifier,
     "lm_perplexity": lm_perplexity,
+    "ccnet_buckets": ccnet_buckets,
 }
 EXTRA_ORACLES = {
     "quality_classifier": QUALITY_CLASSIFIER_SQL,
     "lm_perplexity": LM_PERPLEXITY_SQL,
+    "ccnet_buckets": CCNET_BUCKETS_SQL,
 }

@@ -1051,8 +1051,8 @@ def test_lm_perplexity_plan_no_window_model_joined_not_forced(spark):
     (the only nested-loop allowed is the single-row vocab broadcast); and
     the model sides carry no forced broadcast — vocab grows with the
     corpus, so the choice belongs to AQE (module policy). Source-level
-    pin: the only F.broadcast in lm_perplexity is on the single-row vocab
-    aggregate."""
+    pin: the only F.broadcast in the shared _lm_scored_frame core is on
+    the single-row vocab aggregate."""
     import ast
     import inspect
     import re
@@ -1071,7 +1071,7 @@ def test_lm_perplexity_plan_no_window_model_joined_not_forced(spark):
     fn = next(
         n
         for n in ast.walk(tree)
-        if isinstance(n, ast.FunctionDef) and n.name == "lm_perplexity"
+        if isinstance(n, ast.FunctionDef) and n.name == "_lm_scored_frame"
     )
     calls = [
         n
@@ -1317,3 +1317,61 @@ def test_dsir_select_target_slice_scores_higher(spark):
     for r in rows:
         if r["n_feats"] == 0:
             assert r["score"] is None and not r["keep"]
+
+
+def test_ccnet_buckets_plan_reuses_lm_shuffle_no_lang_smj(spark):
+    """CCNet bucketing consumes the lm scorer from TWO branches (the doc
+    side and the tertile histogram). The branches are written to prune
+    identically (no differing filter pushdown — NULL qb rides the
+    histogram as a zero-count group, not a filter), so the FINAL adaptive
+    plan must serve both from the SAME corpus bigram shuffle: assert a
+    ReusedExchange in the final plan. The threshold join key `lang` is
+    low-cardinality AND skewed — doc rows must never sort-merge on it
+    (broadcast only; windows here run only over the clamped histogram,
+    ≤ langs × CCNET_QB_MAX+1 cells, never over doc rows)."""
+    import re
+
+    from docling_rag_spark.operators.textstats import ccnet_buckets
+
+    df = ccnet_buckets(spark, SF)
+    df.collect()
+    plan = _formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    # the precise reuse claim: a ReusedExchange pointing at the corpus
+    # bigram shuffle (hashpartitioning on (doc_id, w1, w2))
+    assert re.search(
+        r"ReusedExchange .*hashpartitioning\(doc_id#\d+L, w1#", plan
+    ), plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and "[lang#" in line:
+            raise AssertionError(f"lang must broadcast, not SMJ: {line}")
+
+
+def test_ccnet_buckets_tertile_semantics(spark):
+    """Per language: buckets are nll-ordered at cell granularity (every
+    head nll < every middle nll < every tail nll — equal nll values share
+    a cell so they can never straddle buckets), the head holds at least a
+    third of the scored mass and head+middle at least two thirds (the
+    3·cum ≥ n threshold rule), every bucket is non-empty at this SF, and
+    a NULL bucket appears iff the doc has a NULL nll (<2 tokens — kept,
+    never dropped)."""
+    from collections import defaultdict
+
+    from docling_rag_spark.operators.textstats import ccnet_buckets
+
+    rows = ccnet_buckets(spark, SF).collect()
+    assert rows
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        assert (r["bucket"] is None) == (r["nll"] is None)
+        if r["bucket"] is not None:
+            by_lang[r["lang"]][r["bucket"]].append(r["nll"])
+    assert by_lang
+    for lang, b in by_lang.items():
+        n = sum(len(v) for v in b.values())
+        assert set(b) == {"head", "middle", "tail"}, (lang, set(b))
+        assert 3 * len(b["head"]) >= n
+        assert 3 * (len(b["head"]) + len(b["middle"])) >= 2 * n
+        assert max(b["head"]) < min(b["middle"])
+        assert max(b["middle"]) < min(b["tail"])
