@@ -64,6 +64,7 @@ HEADLINE = [
     "span_intra_dedup",
     "doc_keywords",
     "lm_perplexity",
+    "ccnet_buckets",
     "pricing_summary",
     "revenue_by_nation",
     "latest_event_per_user",
