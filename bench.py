@@ -58,6 +58,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "training_subset_chunks",
     "token_budget_select",
+    "unimax_budget",
     "dsir_select",
     "pack_sequences",
     "span_boilerplate",

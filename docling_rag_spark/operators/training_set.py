@@ -887,6 +887,168 @@ where {u_h} / 4294967295.0 < r.keep_rate
 TEMPERATURE_SAMPLE_SQL = _temperature_sample_sql()
 
 # --------------------------------------------------------------------------
+# UniMax language-budget allocation (round 6: Chung et al., ICLR 2023 —
+# "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+# Multilingual Pretraining"). Where temperature_sample rebalances by a
+# CLOSED-FORM power law, UniMax waterfills a total token budget B
+# UNIFORMLY across languages subject to a per-language repeat cap of
+# UNIMAX_EPOCHS passes over its supply: ascending by capped supply
+# c_l = E·n_l, a language is capped iff its cap can't absorb the fair
+# share of what remains — flag_l := c_l·(L−rank+1) ≤ B − cumsum_prev(c)
+# (the standard waterfilling prefix test: once false it stays false, so
+# no iteration is needed); capped languages take c_l, the rest split the
+# remainder equally. The WHOLE algorithm runs as windows over the
+# per-LANGUAGE aggregate — a frame bounded by #languages (the sanctioned
+# window class; the single-partition window never sees doc rows). Doc
+# rows NEVER shuffle: one map-combined groupBy(lang) sum builds the
+# supply table, the ≤L-row allocation joins back on lang unhinted (AQE
+# broadcasts it — `lang` is the worst shuffle key: low-cardinality AND
+# skewed, so an SMJ would funnel each language into one task), and the
+# per-doc epoch count comes from the same deterministic hash jitter as
+# mixture_sample (n_copies = floor(epochs) + 1{u < frac(epochs)}, an
+# unbiased integerization of fractional epochs). All intermediate doubles
+# are exact (integer-valued caps/cumsums below 2^53), so the two engines
+# agree bit-for-bit on the branch decisions.
+# --------------------------------------------------------------------------
+UNIMAX_EPOCHS = 2.0
+UNIMAX_BUDGET_FRAC = 1.5  # B = 1.5 × total corpus tokens
+
+
+def unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count_col
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        token_count_col(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    # supply table: bigint sums stay exact; doubles derived once from them
+    counts = per_doc.groupBy("lang").agg(F.sum("n_tok").alias("nl")).cache()
+    c = counts.select(
+        "lang",
+        F.col("nl").cast("double").alias("n"),
+        (F.lit(UNIMAX_EPOCHS) * F.col("nl").cast("double")).alias("cap"),
+    )
+    tot = counts.agg(
+        (F.lit(UNIMAX_BUDGET_FRAC) * F.sum("nl").cast("double")).alias("B"),
+        F.count("*").alias("L"),
+    )
+    # single-row side: AQE plans the cross join as BNLJ on its own (module
+    # bans forced hints — pinned by test_training_set_has_no_forced_broadcast_hints)
+    j = c.join(tot)
+    w_ord = Window.orderBy("cap", "lang")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    f = j.select(
+        "*",
+        F.row_number().over(w_ord).alias("rn"),
+        F.coalesce(F.sum("cap").over(w_prev), F.lit(0.0)).alias("cumprev"),
+    )
+    g = f.select(
+        "*",
+        (
+            F.col("cap") * (F.col("L") - F.col("rn") + 1)
+            <= F.col("B") - F.col("cumprev")
+        ).alias("capped"),
+    )
+    # full-frame sums over the same ≤L-row frame (order-free: the summed
+    # caps are integer-valued doubles, exact under any accumulation order)
+    w_all = Window.partitionBy()
+    h = g.select(
+        "*",
+        F.sum(
+            F.when(F.col("capped"), F.col("cap")).otherwise(F.lit(0.0))
+        ).over(w_all).alias("bcap"),
+        F.sum(
+            F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0))
+        ).over(w_all).alias("ncap"),
+    )
+    # B < Σcap structurally (FRAC < E at any supply mix where the largest
+    # language holds > (FRAC/E − (L−1)·f_min) mass) → the last row never
+    # caps → L > ncap; CaseWhen shields the division per row regardless
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        (F.col("B") - F.col("bcap")) / (F.col("L") - F.col("ncap"))
+    )
+    rates = h.select("lang", "n", "capped", alloc.alias("alloc"))
+    ep = F.col("alloc") / F.col("n")
+    u = _hex_bigint_col(
+        F.concat_ws("|", F.lit(MIX_SEED), F.lit("unimax"), F.col("doc_id")), 8
+    ) / F.lit(4294967295.0)
+    out = per_doc.join(rates, "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "capped",
+        F.round(ep, 6).alias("epochs"),
+        (
+            F.floor(ep)
+            + F.when(u < ep - F.floor(ep), F.lit(1)).otherwise(F.lit(0))
+        ).cast("int").alias("n_copies"),
+    )
+    from .common import scoped_cache
+
+    return scoped_cache(out, counts)
+
+
+def _unimax_budget_sql() -> str:
+    from ..functions import duckdb_sql as dsql
+    from .common import hexn_to_bigint_sql
+
+    u_h = hexn_to_bigint_sql(
+        f"md5('{MIX_SEED}' || '|' || 'unimax' || '|' || doc_id::varchar)", 8
+    )
+    return f"""
+with pd as (
+  select doc_id, lang, ({dsql.token_count_sql('text')})::bigint as n_tok
+  from documents
+),
+c as (
+  select lang, (sum(n_tok))::double as n,
+         {UNIMAX_EPOCHS} * ((sum(n_tok))::double) as cap,
+         sum(n_tok) as nl
+  from pd group by lang
+),
+tot as (
+  select {UNIMAX_BUDGET_FRAC} * ((sum(nl))::double) as B, count(*) as L
+  from c
+),
+f as (
+  select c.lang, c.n, c.cap, t.B, t.L,
+         row_number() over (order by c.cap, c.lang) as rn,
+         coalesce(sum(c.cap) over (order by c.cap, c.lang
+            rows between unbounded preceding and 1 preceding), 0.0) as cumprev
+  from c, tot t
+),
+g as (
+  select *, (cap * (L - rn + 1) <= B - cumprev) as capped from f
+),
+h as (
+  select *,
+         sum(case when capped then cap else 0.0 end) over () as bcap,
+         sum(case when capped then 1 else 0 end) over () as ncap
+  from g
+),
+r as (
+  select lang, n, capped,
+         case when capped then cap
+              else (B - bcap) / (L - ncap) end as alloc
+  from h
+)
+select pd.doc_id, pd.lang, pd.n_tok, r.capped,
+       round(r.alloc / r.n, 6) as epochs,
+       (floor(r.alloc / r.n)
+        + case when {u_h} / 4294967295.0
+                    < r.alloc / r.n - floor(r.alloc / r.n)
+               then 1 else 0 end)::int as n_copies
+from pd join r using (lang)
+"""
+
+
+UNIMAX_BUDGET_SQL = _unimax_budget_sql()
+
+# --------------------------------------------------------------------------
 # Sequence packing (round 5): assign extracted chunks to fixed-token-budget
 # training sequences — the batch-prep step between selection and the
 # trainer (GPT-style concat-then-split: the chunk stream is concatenated in
@@ -1182,6 +1344,7 @@ EXTRA_QUERIES = {
     "decontaminate_frac": decontaminate_frac,
     "decontaminate_bloom": decontaminate_bloom,
     "temperature_sample": temperature_sample,
+    "unimax_budget": unimax_budget,
     "token_budget_select": token_budget_select,
     "dsir_select": dsir_select,
 }
@@ -1191,6 +1354,7 @@ EXTRA_ORACLES = {
     "decontaminate_frac": DECONTAMINATE_FRAC_SQL,
     "decontaminate_bloom": _decontaminate_bloom_sql(),
     "temperature_sample": TEMPERATURE_SAMPLE_SQL,
+    "unimax_budget": UNIMAX_BUDGET_SQL,
     "token_budget_select": _token_budget_select_sql(),
     "dsir_select": DSIR_SELECT_SQL,
 }

@@ -1375,3 +1375,79 @@ def test_ccnet_buckets_tertile_semantics(spark):
         assert 3 * (len(b["head"]) + len(b["middle"])) >= 2 * n
         assert max(b["head"]) < min(b["middle"])
         assert max(b["middle"]) < min(b["tail"])
+
+
+def test_unimax_budget_waterfill_semantics(spark):
+    """UniMax invariants at this SF: per-language epochs is a constant;
+    capped ⇔ epochs == UNIMAX_EPOCHS (a capped language takes exactly its
+    full E-pass supply); BOTH branches of the waterfill occur (the
+    constants are tuned so the smallest languages cap and the largest
+    cannot); every uncapped language receives the SAME absolute token
+    allocation (uniform fair share — the paper's defining property, vs
+    temperature sampling's proportional shares); the allocations exhaust
+    the budget (Σ epochs·n == UNIMAX_BUDGET_FRAC·total); and n_copies is
+    the unbiased integerization floor(epochs) (+1 on the jitter hit)."""
+    from collections import defaultdict
+
+    from docling_rag_spark.operators.training_set import (
+        UNIMAX_BUDGET_FRAC,
+        UNIMAX_EPOCHS,
+        unimax_budget,
+    )
+
+    rows = unimax_budget(spark, SF).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+        assert r["n_copies"] in (
+            int(r["epochs"]),
+            int(r["epochs"]) + 1,
+        ), r
+    capped_flags = {}
+    allocs = {}
+    total = 0
+    for lang, rs in by_lang.items():
+        eps = {r["epochs"] for r in rs}
+        assert len(eps) == 1, (lang, eps)
+        ep = eps.pop()
+        assert ep <= UNIMAX_EPOCHS + 1e-9
+        capped = {r["capped"] for r in rs}
+        assert len(capped) == 1
+        capped_flags[lang] = capped.pop()
+        assert capped_flags[lang] == (abs(ep - UNIMAX_EPOCHS) < 1e-9), lang
+        n = sum(r["n_tok"] for r in rs)
+        allocs[lang] = ep * n
+        total += n
+    assert any(capped_flags.values()) and not all(capped_flags.values())
+    uncapped = [a for lang, a in allocs.items() if not capped_flags[lang]]
+    assert len(uncapped) >= 1
+    # uniform fair share across uncapped languages (tolerance: the rounded
+    # epochs column re-multiplied by n)
+    assert max(uncapped) - min(uncapped) <= 1e-4 * max(uncapped)
+    budget = UNIMAX_BUDGET_FRAC * total
+    assert abs(sum(allocs.values()) - budget) <= 1e-4 * budget
+
+
+def test_unimax_budget_plan_doc_rows_never_shuffle(spark):
+    """The scale contract: the ONLY exchanges in the final plan are the
+    lang-aggregate hash shuffle and the single-partition window frame —
+    doc rows never hash-partition (no Exchange keyed on doc_id, and the
+    ≤L-row allocation side broadcasts back onto the corpus: `lang` is the
+    worst shuffle key — low-cardinality AND skewed — so an SMJ on it
+    would funnel every language into one task)."""
+    from docling_rag_spark.operators.training_set import unimax_budget
+
+    df = unimax_budget(spark, SF)
+    df.collect()
+    plan = _formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id#" not in line.split("Exchange", 1)[1].split(
+                "["
+            )[0], line
+            assert "lang#" in line, line
+        if "SortMergeJoin" in line and "[lang#" in line:
+            raise AssertionError(f"lang must broadcast, not SMJ: {line}")
