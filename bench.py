@@ -52,6 +52,7 @@ HEADLINE = [
     "hybrid_rrf_chunks",
     "text_quality",
     "text_gopher_filters",
+    "corpus_datacard",
     "chunk_documents",
     "decontaminate",
     "decontaminate_frac",

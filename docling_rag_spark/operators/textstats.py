@@ -633,6 +633,123 @@ from scored
 """
 
 # --------------------------------------------------------------------------
+# Corpus data card (round 6): the per-(source, language) statistics report
+# a production pipeline publishes alongside a training set (Dolma/
+# RedPajama-style "data card" stage): document and token counts, mean
+# document length, corpus-level EXACT-duplicate rate, and the mean of the
+# quality_classifier score (identical scoring path — rounded features,
+# then the linear logit — so the card agrees with the filter it audits).
+# Scale shape: ONE corpus-sized shuffle to a (digest, source, lang)
+# pre-aggregate (map-combined; digest = 16-byte unhex(md5), the binary
+# payload convention), then the digest-size join-back over the ALREADY
+# AGGREGATED frame (a dup group spanning sources/langs stays correct;
+# groupBy + join-back, never a digest-partitioned window — an empty-text
+# mega-dup would funnel into one window task, and an equi-join on a
+# uniform digest key is AQE-skew-splittable), then a map-combined rollup
+# to (source, lang) — a bounded cell space. Mean quality sums EXACT
+# per-doc integers (round(prob·1e6) as bigint) so the cross-engine mean
+# is bit-identical under any accumulation order (double sums are not).
+# --------------------------------------------------------------------------
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datacard_frame(table(spark, sf_dir, "documents"))
+
+
+def datacard_frame(docs: DataFrame) -> DataFrame:
+    """Core over any (source, lang, text) frame — split from the sf_dir
+    entry point so tests can plant cross-cell duplicate groups."""
+    n_tokens = token_count_col(F.col("text"))
+    logit = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + n_tokens)
+        + F.lit(QC_W_STOPWORD) * F.round(stopword_ratio_col(F.col("text")), 6)
+        + F.lit(QC_W_PUNCT) * F.round(punct_ratio_col(F.col("text")), 6)
+        + F.lit(QC_W_LOG_CHARS)
+        * F.log(F.lit(1.0) + F.length(tidy_col(F.col("text"))))
+    )
+    prob6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    base = docs.select(
+        "source",
+        "lang",
+        n_tokens.cast("bigint").alias("n_tok"),
+        F.round(prob6 * F.lit(1000000.0)).cast("bigint").alias("q6"),
+        F.unhex(F.md5("text")).alias("h"),
+    )
+    g1 = base.groupBy("h", "source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_tok").alias("st"),
+        F.sum("q6").alias("sq6"),
+    )
+    sizes = g1.groupBy("h").agg(F.sum("n").alias("nh"))
+    flagged = g1.join(sizes, "h")
+    agg = flagged.groupBy("source", "lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("st").alias("total_tokens"),
+        F.sum("sq6").alias("sq6"),
+        F.sum(
+            F.when(F.col("nh") > 1, F.col("n")).otherwise(F.lit(0))
+        ).alias("dup_docs"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 2
+        ).alias("mean_tokens"),
+        "dup_docs",
+        F.round(
+            F.col("dup_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.col("sq6") / F.lit(1000000.0) / F.col("n_docs"), 6
+        ).alias("mean_quality"),
+    )
+
+
+CORPUS_DATACARD_SQL = f"""
+with f0 as (
+  select source, lang,
+         ({dsql.token_count_sql('text')})::bigint as n_tok,
+         round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio,
+         round({dsql.punct_ratio_sql('text')}, 6) as punct_ratio,
+         length({dsql.tidy_sql('text')}) as n_chars,
+         md5(text) as h
+  from documents
+),
+f1 as (
+  select source, lang, n_tok, h,
+         round(round(1.0 / (1.0 + exp(-({QC_BIAS}
+             + {QC_W_LOG_TOKENS} * ln(1.0 + n_tok)
+             + {QC_W_STOPWORD} * stopword_ratio
+             + {QC_W_PUNCT} * punct_ratio
+             + {QC_W_LOG_CHARS} * ln(1.0 + n_chars)))), 6)
+           * 1000000.0)::bigint as q6
+  from f0
+),
+g1 as (
+  select h, source, lang, count(*)::bigint as n,
+         sum(n_tok)::bigint as st, sum(q6)::bigint as sq6
+  from f1 group by 1, 2, 3
+),
+sizes as (select h, sum(n)::bigint as nh from g1 group by h)
+select g1.source, g1.lang,
+       sum(g1.n)::bigint as n_docs,
+       sum(g1.st)::bigint as total_tokens,
+       round((sum(g1.st)::bigint)::double / (sum(g1.n)::bigint), 2)
+         as mean_tokens,
+       sum(case when s.nh > 1 then g1.n else 0 end)::bigint as dup_docs,
+       round((sum(case when s.nh > 1 then g1.n else 0 end)::bigint)::double
+             / (sum(g1.n)::bigint), 6) as dup_rate,
+       round(sum(g1.sq6)::bigint / 1000000.0 / (sum(g1.n)::bigint), 6)
+         as mean_quality
+from g1 join sizes s using (h)
+group by 1, 2
+"""
+
+# --------------------------------------------------------------------------
 # CCNet-style LM perplexity filter (round 6). CCNet (Wenzek et al. 2020)
 # scores every crawled doc with a KenLM 5-gram model trained on a clean
 # reference corpus and keeps/buckets by perplexity; the sandbox has no
@@ -941,11 +1058,13 @@ from sc left join thr t using (lang)
 
 EXTRA_QUERIES = {
     "quality_classifier": quality_classifier,
+    "corpus_datacard": corpus_datacard,
     "lm_perplexity": lm_perplexity,
     "ccnet_buckets": ccnet_buckets,
 }
 EXTRA_ORACLES = {
     "quality_classifier": QUALITY_CLASSIFIER_SQL,
+    "corpus_datacard": CORPUS_DATACARD_SQL,
     "lm_perplexity": LM_PERPLEXITY_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,
 }

@@ -1451,3 +1451,88 @@ def test_unimax_budget_plan_doc_rows_never_shuffle(spark):
             assert "lang#" in line, line
         if "SortMergeJoin" in line and "[lang#" in line:
             raise AssertionError(f"lang must broadcast, not SMJ: {line}")
+
+
+def test_corpus_datacard_semantics(spark):
+    """The card's cells partition the corpus exactly (Σ n_docs == corpus
+    size), the dup accounting agrees with the exact_dedup operator
+    (Σ dup_docs == Σ n_copies over dup groups — a doc counts as dup when
+    its text's corpus-wide digest count exceeds 1, wherever its copies
+    live), mean_quality is a probability mean, and mean_tokens·n_docs
+    reproduces total_tokens within rounding."""
+    from docling_rag_spark.operators.dedup import exact_dedup
+    from docling_rag_spark.operators.textstats import corpus_datacard
+
+    rows = corpus_datacard(spark, SF).collect()
+    assert rows
+    n_total = sum(r["n_docs"] for r in rows)
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_total == docs_n
+    dup_total = sum(r["dup_docs"] for r in rows)
+    exact = exact_dedup(spark, SF).collect()
+    assert dup_total == sum(e["n_copies"] for e in exact if e["n_copies"] > 1)
+    for r in rows:
+        assert 0.0 < r["mean_quality"] < 1.0
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert abs(r["mean_tokens"] * r["n_docs"] - r["total_tokens"]) <= (
+            0.005 * r["n_docs"] + 1e-6
+        )
+
+
+def test_corpus_datacard_plan_no_window_one_corpus_shuffle(spark):
+    """Scale contract: NO Window anywhere (the digest-size link-back is a
+    groupBy + equi-join — an empty-text mega-dup group must stay
+    AQE-splittable, never a digest-partitioned window task), and every
+    hash Exchange is keyed on the digest or the bounded (source, lang)
+    cell space — doc rows shuffle once, into the (h, source, lang)
+    pre-aggregate."""
+    from docling_rag_spark.operators.textstats import corpus_datacard
+
+    df = corpus_datacard(spark, SF)
+    df.collect()
+    plan = _formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "Window" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            keys = line.split("Exchange hashpartitioning", 1)[1]
+            assert "h#" in keys or ("source#" in keys and "lang#" in keys), (
+                line
+            )
+            assert "doc_id#" not in keys, line
+
+
+def test_corpus_datacard_planted_cross_cell_dups(spark):
+    """A duplicate GROUP that spans (source, lang) cells must count as dup
+    in EVERY cell it touches (the digest pre-aggregate keeps per-cell
+    membership; the corpus-wide size decides dup-ness): plant one text
+    duplicated across two sources and two langs (4 docs → 4 dup docs in 4
+    distinct cells), one within-cell pair (2 dup docs in one cell), and a
+    unique doc (0)."""
+    from docling_rag_spark.operators.textstats import datacard_frame
+
+    rows = datacard_frame(
+        spark.createDataFrame(
+            [
+                ("a", "en", "the same boilerplate text"),
+                ("a", "de", "the same boilerplate text"),
+                ("b", "en", "the same boilerplate text"),
+                ("b", "de", "the same boilerplate text"),
+                ("a", "en", "twice in one cell"),
+                ("a", "en", "twice in one cell"),
+                ("b", "en", "a unique document"),
+            ],
+            "source string, lang string, text string",
+        )
+    ).collect()
+    by_cell = {(r["source"], r["lang"]): r for r in rows}
+    assert by_cell[("a", "de")]["dup_docs"] == 1
+    assert by_cell[("b", "de")]["dup_docs"] == 1
+    assert by_cell[("b", "en")]["dup_docs"] == 1
+    assert by_cell[("b", "en")]["n_docs"] == 2
+    assert by_cell[("b", "en")]["dup_rate"] == 0.5
+    # (a, en): the cross-cell copy + the within-cell pair = 3 of 3
+    assert by_cell[("a", "en")]["n_docs"] == 3
+    assert by_cell[("a", "en")]["dup_docs"] == 3
+    assert by_cell[("a", "en")]["dup_rate"] == 1.0
+    assert sum(r["dup_docs"] for r in rows) == 6
