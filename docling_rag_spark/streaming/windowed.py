@@ -124,3 +124,81 @@ def dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def attribution_join_stream(
+    spark: SparkSession,
+    views_dir: str,
+    clicks_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    horizon_minutes: int = 30,
+    how: str = "inner",
+) -> None:
+    """Watermarked stream-stream interval join — the remaining §2.6 shape
+    next to windowed aggregation / streaming dedup / sessionization: join
+    two unbounded streams (a ``view`` stream and a ``click`` stream, both
+    the events schema) on user_id where the click lands within
+    ``horizon_minutes`` AFTER the view. Both sides carry an event-time
+    watermark AND the join condition bounds event-time distance, so Spark
+    derives a state watermark for each side — per-key join state is
+    evicted once it can no longer match (without BOTH bounds the state
+    store grows forever, the stream-stream analog of the unbounded
+    dropDuplicates trap documented on dedup_stream). ``how='leftOuter'``
+    additionally emits a NULL-click row for a view once the watermark
+    proves no click can arrive — the attribution "no conversion" record,
+    emitted exactly once. Append mode; re-running on the same checkpoint
+    resumes the watermark and never re-emits. Per micro-batch the shuffle
+    is one hash exchange per side on user_id (skew: a bot user fans out,
+    same mitigation as the batch as-of join — AQE inside the micro-batch);
+    the parquet file source stands in for Kafka, swap the reader and the
+    plan survives.
+    """
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(views_dir)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            "user_id",
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(clicks_dir)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user_id "
+            "AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {int(horizon_minutes)} minutes"
+        ),
+        how,
+    ).select(
+        "view_id",
+        "view_ts",
+        "user_id",
+        "click_id",
+        "click_ts",
+        "click_value",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "attributed"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

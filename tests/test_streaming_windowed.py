@@ -154,3 +154,117 @@ def test_dedup_stream_bounded_state_and_keyed_backstop(spark, tmp_path):
     # replay: nothing duplicates
     dedup_stream(spark, inp, out)
     assert len(_unique_rows(spark, out)) == 3
+
+
+def _attr_rows(spark, out):
+    path = os.path.join(out, "attributed")
+    return sorted(
+        (r["view_id"], r["user_id"], r["click_id"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def _write_events(spark, path, rows):
+    from docling_rag_spark.streaming.windowed import EVENTS_SCHEMA
+
+    spark.createDataFrame(rows, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_attribution_join_inner_lifecycle(spark, tmp_path):
+    """Stream-stream interval join: a click within the 30-minute horizon
+    matches its view; a click outside the horizon never does; a LATE
+    click arriving in a later micro-batch still matches while the
+    watermark keeps the view's join state alive; an idle restart on the
+    same checkpoint re-emits nothing."""
+    from docling_rag_spark.streaming.windowed import attribution_join_stream
+
+    vdir, cdir, out = (
+        str(tmp_path / "views"),
+        str(tmp_path / "clicks"),
+        str(tmp_path / "out"),
+    )
+    _write_events(
+        spark,
+        vdir,
+        [
+            (10, D0 + _h(1), 1, "view", None, None),
+            (11, D0 + _h(1), 2, "view", None, None),
+        ],
+    )
+    _write_events(
+        spark,
+        cdir,
+        [
+            (20, D0 + _h(1) + dt.timedelta(minutes=10), 1, "click", 1.0, None),
+            # 90 min after user 2's view: outside the horizon, never matches
+            (21, D0 + _h(2) + dt.timedelta(minutes=30), 2, "click", 2.0, None),
+        ],
+    )
+    attribution_join_stream(spark, vdir, cdir, out)
+    assert _attr_rows(spark, out) == [(10, 1, 20)]
+
+    # late click for user 2, within horizon by EVENT time and above the
+    # current watermark — the view's state must still be there to match
+    _write_events(
+        spark,
+        cdir,
+        [(22, D0 + _h(1) + dt.timedelta(minutes=15), 2, "click", 3.0, None)],
+    )
+    attribution_join_stream(spark, vdir, cdir, out)
+    assert _attr_rows(spark, out) == [(10, 1, 20), (11, 2, 22)]
+
+    # idle restart: nothing re-emits
+    attribution_join_stream(spark, vdir, cdir, out)
+    assert _attr_rows(spark, out) == [(10, 1, 20), (11, 2, 22)]
+
+
+def test_attribution_join_left_outer_null_emission(spark, tmp_path):
+    """leftOuter: a view with no click emits its NULL-click attribution
+    row exactly once — and only after the watermark PROVES no click can
+    arrive (view_ts + horizon + watermark delay passed on both sides);
+    a click for that view arriving after the proof is too late and must
+    NOT produce a second (now contradictory) row."""
+    from docling_rag_spark.streaming.windowed import attribution_join_stream
+
+    vdir, cdir, out = (
+        str(tmp_path / "views"),
+        str(tmp_path / "clicks"),
+        str(tmp_path / "out"),
+    )
+    _write_events(
+        spark,
+        vdir,
+        [
+            (10, D0 + _h(1), 1, "view", None, None),
+            (11, D0 + _h(1), 2, "view", None, None),  # never clicked
+        ],
+    )
+    _write_events(
+        spark,
+        cdir,
+        [(20, D0 + _h(1) + dt.timedelta(minutes=5), 1, "click", 1.0, None)],
+    )
+    attribution_join_stream(spark, vdir, cdir, out, how="leftOuter")
+    got = _attr_rows(spark, out)
+    assert (10, 1, 20) in got  # the match emits immediately
+
+    # advance BOTH side watermarks far past view_ts + horizon
+    _write_events(spark, vdir, [(98, D0 + _d(2), 98, "view", None, None)])
+    _write_events(spark, cdir, [(99, D0 + _d(2), 99, "click", 0.0, None)])
+    attribution_join_stream(spark, vdir, cdir, out, how="leftOuter")
+    got = _attr_rows(spark, out)
+    assert (11, 2, None) in got, got  # the no-conversion record
+    assert got.count((11, 2, None)) == 1
+
+    # too-late click for view 11: the state is gone and the NULL row is
+    # already committed — no new output
+    _write_events(
+        spark,
+        cdir,
+        [(23, D0 + _h(1) + dt.timedelta(minutes=10), 2, "click", 9.0, None)],
+    )
+    attribution_join_stream(spark, vdir, cdir, out, how="leftOuter")
+    after = _attr_rows(spark, out)
+    assert after == got
