@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import duckdb_sql as dsql
@@ -582,23 +582,37 @@ QC_W_PUNCT = -3.0
 QC_W_LOG_CHARS = 0.1
 
 
+def qc_logit_col(text: Column) -> Column:
+    """THE quality-classifier logit — the single definition shared by
+    quality_classifier, corpus_datacard, and token_budget_select, so the
+    filter, the card that audits it, and the budget ranking can never
+    drift apart. Rounded features, then the linear combination, in this
+    exact association order (mirrored term-for-term by qc_logit_sql — the
+    two engines must reproduce the doubles bit-for-bit)."""
+    return (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + token_count_col(text))
+        + F.lit(QC_W_STOPWORD) * F.round(stopword_ratio_col(text), 6)
+        + F.lit(QC_W_PUNCT) * F.round(punct_ratio_col(text), 6)
+        + F.lit(QC_W_LOG_CHARS) * F.log(F.lit(1.0) + F.length(tidy_col(text)))
+    )
+
+
+def qc_logit_sql(c: str) -> str:
+    """DuckDB mirror of qc_logit_col — same terms, same order."""
+    return (
+        f"({QC_BIAS}"
+        f" + {QC_W_LOG_TOKENS} * ln(1.0 + {dsql.token_count_sql(c)})"
+        f" + {QC_W_STOPWORD} * round({dsql.stopword_ratio_sql(c)}, 6)"
+        f" + {QC_W_PUNCT} * round({dsql.punct_ratio_sql(c)}, 6)"
+        f" + {QC_W_LOG_CHARS} * ln(1.0 + length({dsql.tidy_sql(c)})))"
+    )
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    feats = docs.select(
-        "doc_id",
-        F.length(tidy_col(F.col("text"))).alias("n_chars"),
-        token_count_col(F.col("text")).alias("n_tokens"),
-        F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
-        F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
-    )
-    logit = (
-        F.lit(QC_BIAS)
-        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + F.col("n_tokens"))
-        + F.lit(QC_W_STOPWORD) * F.col("stopword_ratio")
-        + F.lit(QC_W_PUNCT) * F.col("punct_ratio")
-        + F.lit(QC_W_LOG_CHARS) * F.log(F.lit(1.0) + F.col("n_chars"))
-    )
-    return feats.select(
+    logit = qc_logit_col(F.col("text"))
+    return docs.select(
         "doc_id",
         F.round(logit, 6).alias("quality_logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
@@ -609,21 +623,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_CLASSIFIER_SQL = f"""
-with feats as (
-  select doc_id,
-         length({dsql.tidy_sql('text')}) as n_chars,
-         {dsql.token_count_sql('text')} as n_tokens,
-         round({dsql.punct_ratio_sql('text')}, 6) as punct_ratio,
-         round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio
-  from documents
-),
-scored as (
-  select doc_id,
-         {QC_BIAS} + {QC_W_LOG_TOKENS} * ln(1.0 + n_tokens)
-         + {QC_W_STOPWORD} * stopword_ratio
-         + {QC_W_PUNCT} * punct_ratio
-         + {QC_W_LOG_CHARS} * ln(1.0 + n_chars) as logit
-  from feats
+with scored as (
+  select doc_id, {qc_logit_sql('text')} as logit from documents
 )
 select doc_id,
        round(logit, 6) as quality_logit,
@@ -659,20 +660,12 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def datacard_frame(docs: DataFrame) -> DataFrame:
     """Core over any (source, lang, text) frame — split from the sf_dir
     entry point so tests can plant cross-cell duplicate groups."""
-    n_tokens = token_count_col(F.col("text"))
-    logit = (
-        F.lit(QC_BIAS)
-        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + n_tokens)
-        + F.lit(QC_W_STOPWORD) * F.round(stopword_ratio_col(F.col("text")), 6)
-        + F.lit(QC_W_PUNCT) * F.round(punct_ratio_col(F.col("text")), 6)
-        + F.lit(QC_W_LOG_CHARS)
-        * F.log(F.lit(1.0) + F.length(tidy_col(F.col("text"))))
-    )
+    logit = qc_logit_col(F.col("text"))
     prob6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     base = docs.select(
         "source",
         "lang",
-        n_tokens.cast("bigint").alias("n_tok"),
+        token_count_col(F.col("text")).cast("bigint").alias("n_tok"),
         F.round(prob6 * F.lit(1000000.0)).cast("bigint").alias("q6"),
         F.unhex(F.md5("text")).alias("h"),
     )
@@ -681,8 +674,14 @@ def datacard_frame(docs: DataFrame) -> DataFrame:
         F.sum("n_tok").alias("st"),
         F.sum("q6").alias("sq6"),
     )
-    sizes = g1.groupBy("h").agg(F.sum("n").alias("nh"))
-    flagged = g1.join(sizes, "h")
+    # null-safe link-back: NULL-text docs carry a NULL digest (groupBy
+    # groups NULL keys together in both engines, matching exact_dedup's
+    # accounting — two NULL-text docs ARE an exact-dup pair), and a plain
+    # equi-join would silently drop the whole NULL group from the card
+    sizes = g1.groupBy("h").agg(F.sum("n").alias("nh")).withColumnRenamed(
+        "h", "h2"
+    )
+    flagged = g1.join(sizes, F.col("h").eqNullSafe(F.col("h2")))
     agg = flagged.groupBy("source", "lang").agg(
         F.sum("n").alias("n_docs"),
         F.sum("st").alias("total_tokens"),
@@ -710,24 +709,13 @@ def datacard_frame(docs: DataFrame) -> DataFrame:
 
 
 CORPUS_DATACARD_SQL = f"""
-with f0 as (
+with f1 as (
   select source, lang,
          ({dsql.token_count_sql('text')})::bigint as n_tok,
-         round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio,
-         round({dsql.punct_ratio_sql('text')}, 6) as punct_ratio,
-         length({dsql.tidy_sql('text')}) as n_chars,
+         round(round(1.0 / (1.0 + exp(-{qc_logit_sql('text')})), 6)
+           * 1000000.0)::bigint as q6,
          md5(text) as h
   from documents
-),
-f1 as (
-  select source, lang, n_tok, h,
-         round(round(1.0 / (1.0 + exp(-({QC_BIAS}
-             + {QC_W_LOG_TOKENS} * ln(1.0 + n_tok)
-             + {QC_W_STOPWORD} * stopword_ratio
-             + {QC_W_PUNCT} * punct_ratio
-             + {QC_W_LOG_CHARS} * ln(1.0 + n_chars)))), 6)
-           * 1000000.0)::bigint as q6
-  from f0
 ),
 g1 as (
   select h, source, lang, count(*)::bigint as n,
@@ -745,7 +733,7 @@ select g1.source, g1.lang,
              / (sum(g1.n)::bigint), 6) as dup_rate,
        round(sum(g1.sq6)::bigint / 1000000.0 / (sum(g1.n)::bigint), 6)
          as mean_quality
-from g1 join sizes s using (h)
+from g1 join sizes s on g1.h is not distinct from s.h
 group by 1, 2
 """
 
@@ -968,9 +956,16 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import scoped_cache
 
     base, m2 = _lm_scored_frame(spark, sf_dir, extra_doc_cols=("lang",))
-    qb = F.least(
-        F.greatest(F.floor(F.col("nll") * CCNET_Q).cast("int"), F.lit(0)),
-        F.lit(CCNET_QB_MAX),
+    # explicit NULL guard: greatest/least SKIP nulls in both engines, so a
+    # bare clamp would silently send a NULL-nll (<2-token) doc to cell 0 —
+    # inflating its language's histogram AND mis-bucketing it 'head'
+    # instead of the contracted NULL bucket
+    qb = F.when(
+        F.col("nll").isNotNull(),
+        F.least(
+            F.greatest(F.floor(F.col("nll") * CCNET_Q).cast("int"), F.lit(0)),
+            F.lit(CCNET_QB_MAX),
+        ),
     )
     scored = base.select("doc_id", "lang", "nll", qb.alias("qb"))
     hist = scored.groupBy("lang", "qb").agg(
@@ -1026,8 +1021,9 @@ base as (
 ),
 sc as (
   select *,
-         least(greatest(cast(floor(nll * {CCNET_Q}) as int), 0),
-               {CCNET_QB_MAX}) as qb
+         case when nll is not null
+              then least(greatest(cast(floor(nll * {CCNET_Q}) as int), 0),
+                         {CCNET_QB_MAX}) end as qb
   from base
 ),
 hist as (

@@ -471,32 +471,13 @@ TBS_SCORE_BUCKETS = 40
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .textstats import (
-        QC_BIAS,
-        QC_W_LOG_CHARS,
-        QC_W_LOG_TOKENS,
-        QC_W_PUNCT,
-        QC_W_STOPWORD,
-    )
-    from ..functions.text import (
-        punct_ratio_col,
-        stopword_ratio_col,
-        tidy_col,
-        token_count_col,
-    )
+    from ..functions.text import token_count_col
+    from .textstats import qc_logit_col
 
     docs = table(spark, sf_dir, "documents")
-    # identical scoring path to quality_classifier (rounded features, then
-    # the linear logit) so the two operators rank docs consistently
-    logit = (
-        F.lit(QC_BIAS)
-        + F.lit(QC_W_LOG_TOKENS)
-        * F.log(F.lit(1.0) + token_count_col(F.col("text")))
-        + F.lit(QC_W_STOPWORD) * F.round(stopword_ratio_col(F.col("text")), 6)
-        + F.lit(QC_W_PUNCT) * F.round(punct_ratio_col(F.col("text")), 6)
-        + F.lit(QC_W_LOG_CHARS)
-        * F.log(F.lit(1.0) + F.length(tidy_col(F.col("text"))))
-    )
+    # THE quality_classifier scoring path (shared qc_logit_col — one
+    # definition, so the budget ranking and the filter can never drift)
+    logit = qc_logit_col(F.col("text"))
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     h = F.md5(F.concat_ws("|", F.lit(TBS_SEED), F.col("doc_id")))
     d = docs.select(
@@ -542,24 +523,13 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _token_budget_select_sql() -> str:
     from .common import hexn_to_bigint_sql
-    from .textstats import (
-        QC_BIAS,
-        QC_W_LOG_CHARS,
-        QC_W_LOG_TOKENS,
-        QC_W_PUNCT,
-        QC_W_STOPWORD,
-    )
+    from .textstats import qc_logit_sql
 
     return f"""
 with d as (
   select doc_id, source,
          ({dsql.token_count_sql('text')})::BIGINT as n_tokens,
-         round(1.0 / (1.0 + exp(-(
-           {QC_BIAS} + {QC_W_LOG_TOKENS} * ln(1.0 + {dsql.token_count_sql('text')})
-           + {QC_W_STOPWORD} * round({dsql.stopword_ratio_sql('text')}, 6)
-           + {QC_W_PUNCT} * round({dsql.punct_ratio_sql('text')}, 6)
-           + {QC_W_LOG_CHARS} * ln(1.0 + length({dsql.tidy_sql('text')}))
-         ))), 6) as prob,
+         round(1.0 / (1.0 + exp(-{qc_logit_sql('text')})), 6) as prob,
          md5('{TBS_SEED}' || '|' || doc_id::varchar) as h
   from documents
 ),
@@ -972,7 +942,11 @@ def unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("B") - F.col("bcap")) / (F.col("L") - F.col("ncap"))
     )
     rates = h.select("lang", "n", "capped", alloc.alias("alloc"))
-    ep = F.col("alloc") / F.col("n")
+    # zero-supply guard: a language whose docs are all empty text has
+    # n = 0.0 (alloc = cap = 0 via the capped branch) — under ANSI mode a
+    # bare alloc/n THROWS on the whole job, and DuckDB would emit NaN; the
+    # defined semantics are epochs NULL / n_copies 0 (nothing to repeat)
+    ep = F.when(F.col("n") > 0, F.col("alloc") / F.col("n"))
     u = _hex_bigint_col(
         F.concat_ws("|", F.lit(MIX_SEED), F.lit("unimax"), F.col("doc_id")), 8
     ) / F.lit(4294967295.0)
@@ -982,10 +956,14 @@ def unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "capped",
         F.round(ep, 6).alias("epochs"),
-        (
+        F.when(
+            F.col("n") > 0,
             F.floor(ep)
-            + F.when(u < ep - F.floor(ep), F.lit(1)).otherwise(F.lit(0))
-        ).cast("int").alias("n_copies"),
+            + F.when(u < ep - F.floor(ep), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_copies"),
     )
     from .common import scoped_cache
 
@@ -1037,11 +1015,13 @@ r as (
   from h
 )
 select pd.doc_id, pd.lang, pd.n_tok, r.capped,
-       round(r.alloc / r.n, 6) as epochs,
-       (floor(r.alloc / r.n)
-        + case when {u_h} / 4294967295.0
-                    < r.alloc / r.n - floor(r.alloc / r.n)
-               then 1 else 0 end)::int as n_copies
+       round(case when r.n > 0 then r.alloc / r.n end, 6) as epochs,
+       (case when r.n > 0 then
+          floor(r.alloc / r.n)
+          + case when {u_h} / 4294967295.0
+                      < r.alloc / r.n - floor(r.alloc / r.n)
+                 then 1 else 0 end
+        else 0 end)::int as n_copies
 from pd join r using (lang)
 """
 

@@ -1400,12 +1400,9 @@ def test_unimax_budget_waterfill_semantics(spark):
     by_lang = defaultdict(list)
     for r in rows:
         by_lang[r["lang"]].append(r)
-        assert r["n_copies"] in (
-            int(r["epochs"]),
-            int(r["epochs"]) + 1,
-        ), r
     capped_flags = {}
     allocs = {}
+    supplies = {}
     total = 0
     for lang, rs in by_lang.items():
         eps = {r["epochs"] for r in rs}
@@ -1415,11 +1412,35 @@ def test_unimax_budget_waterfill_semantics(spark):
         capped = {r["capped"] for r in rs}
         assert len(capped) == 1
         capped_flags[lang] = capped.pop()
-        assert capped_flags[lang] == (abs(ep - UNIMAX_EPOCHS) < 1e-9), lang
+        if capped_flags[lang]:
+            # alloc == cap == E·n exactly ⇒ epochs is exactly E
+            assert ep == UNIMAX_EPOCHS, lang
         n = sum(r["n_tok"] for r in rs)
+        supplies[lang] = n
         allocs[lang] = ep * n
         total += n
     assert any(capped_flags.values()) and not all(capped_flags.values())
+    # n_copies = floor(UNROUNDED alloc/n) (+1 on jitter) — recompute the
+    # unrounded ratio from first principles rather than trusting the
+    # 6-decimal epochs column near an integer boundary
+    import math
+
+    budget_exact = UNIMAX_BUDGET_FRAC * total
+    bcap = sum(
+        UNIMAX_EPOCHS * supplies[g] for g in supplies if capped_flags[g]
+    )
+    n_uncapped = sum(1 for g in supplies if not capped_flags[g])
+    share = (budget_exact - bcap) / n_uncapped
+    for lang, rs in by_lang.items():
+        ep_est = (
+            UNIMAX_EPOCHS
+            if capped_flags[lang]
+            else share / supplies[lang]
+        )
+        lo = math.floor(ep_est - 1e-9)
+        hi = math.floor(ep_est + 1e-9) + 1
+        for r in rs:
+            assert lo <= r["n_copies"] <= hi, (lang, ep_est, r)
     uncapped = [a for lang, a in allocs.items() if not capped_flags[lang]]
     assert len(uncapped) >= 1
     # uniform fair share across uncapped languages (tolerance: the rounded
@@ -1536,3 +1557,80 @@ def test_corpus_datacard_planted_cross_cell_dups(spark):
     assert by_cell[("a", "en")]["dup_docs"] == 3
     assert by_cell[("a", "en")]["dup_rate"] == 1.0
     assert sum(r["dup_docs"] for r in rows) == 6
+
+
+def test_ccnet_buckets_sub_two_token_doc_gets_null_bucket(spark, tmp_path):
+    """Regression (self-review round 6): greatest/least SKIP nulls in both
+    engines, so an unguarded clamp sent a NULL-nll (<2-token) doc to
+    histogram cell 0 — polluting its language's tertile thresholds and
+    mis-bucketing the doc 'head'. The guard must keep the contract: bucket
+    is NULL iff nll is NULL, and the doc never inflates the scored mass."""
+    from docling_rag_spark.operators.textstats import ccnet_buckets
+
+    rows = [
+        (i, " ".join(f"w{j % 7}" for j in range(i % 11 + 2)), "en", "s0", 10)
+        for i in range(40)
+    ] + [(100, "solo", "en", "s0", 4)]  # 1 token -> no bigram -> NULL nll
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in ccnet_buckets(spark, str(tmp_path)).collect()}
+    assert got[100]["nll"] is None and got[100]["bucket"] is None
+    scored = [r for r in got.values() if r["nll"] is not None]
+    assert len(scored) == 40
+    for r in scored:
+        assert r["bucket"] in ("head", "middle", "tail")
+
+
+def test_unimax_budget_zero_supply_language(spark, tmp_path):
+    """Regression (self-review round 6): a language whose docs are all
+    empty text has supply n = 0 — the unguarded alloc/n threw
+    DIVIDE_BY_ZERO under ANSI mode. Defined semantics: the language caps
+    trivially (cap = 0 absorbs nothing), epochs is NULL, n_copies 0; the
+    real languages still waterfill the full budget."""
+    from docling_rag_spark.operators.training_set import unimax_budget
+
+    rows = (
+        [(i, "", "xx", "s0", 0) for i in range(3)]
+        + [(10 + i, "one two three four five", "en", "s0", 23) for i in range(6)]
+        + [(20 + i, "uno dos tres", "es", "s0", 12) for i in range(2)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = unimax_budget(spark, str(tmp_path)).collect()
+    xx = [r for r in got if r["lang"] == "xx"]
+    assert len(xx) == 3
+    for r in xx:
+        assert r["capped"] is True
+        assert r["epochs"] is None
+        assert r["n_copies"] == 0
+    others = [r for r in got if r["lang"] != "xx"]
+    assert others and all(r["epochs"] is not None for r in others)
+
+
+def test_corpus_datacard_null_text_docs_counted(spark):
+    """Regression (self-review round 6): NULL-text docs carry a NULL
+    digest, and a plain equi-join link-back dropped the whole NULL group
+    from the card. They must be counted — and two NULL-text docs ARE an
+    exact-dup pair (groupBy groups NULL keys in both engines, matching
+    exact_dedup's accounting)."""
+    from docling_rag_spark.operators.textstats import datacard_frame
+
+    rows = datacard_frame(
+        spark.createDataFrame(
+            [
+                ("a", "en", None),
+                ("a", "en", None),
+                ("a", "en", "a real document"),
+                ("b", "en", None),
+            ],
+            "source string, lang string, text string",
+        )
+    ).collect()
+    by_cell = {(r["source"], r["lang"]): r for r in rows}
+    assert by_cell[("a", "en")]["n_docs"] == 3
+    # the three NULL-text docs form ONE corpus-wide dup group across cells
+    assert by_cell[("a", "en")]["dup_docs"] == 2
+    assert by_cell[("b", "en")]["n_docs"] == 1
+    assert by_cell[("b", "en")]["dup_docs"] == 1
