@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from docling_rag_spark.operators import (  # noqa: E402
+    attributes,
     dedup,
     embed,
     extraction_queries,
@@ -32,6 +33,7 @@ from docling_rag_spark.operators import (  # noqa: E402
 
 _MODULES = [
     extraction_queries,
+    attributes,
     dedup,
     similarity,
     textstats,

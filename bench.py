@@ -53,6 +53,7 @@ HEADLINE = [
     "text_quality",
     "text_gopher_filters",
     "corpus_datacard",
+    "attribute_mixer",
     "chunk_documents",
     "decontaminate",
     "decontaminate_frac",

@@ -1,0 +1,154 @@
+"""Dolma-style tagger/mixer attribute store (round 6).
+
+The architecture layer that makes the per-doc operators USABLE as a
+policy-iterating pipeline (Soldaini et al. 2024, "Dolma", arXiv:2402.00159
+— taggers write attribute files once; a cheap "mixer" applies a keep
+policy over them, so changing a threshold re-runs in seconds instead of
+re-tokenizing the corpus): here the single-pass codegen taggers (token /
+char counts, stopword & punct ratios, the shared quality_classifier
+logit, the n-gram language id, the exact-dup digest) project into ONE
+wide per-doc attributes row, and the mixer is a pure filter over those
+columns — zero Exchange in both plans, every expensive expression
+evaluated exactly once per doc.
+
+Deployment shape: jobs/attributes_job.py persists the attributes table
+with the same idempotent keyed append + resume anti-join as the
+extraction job; `--mix` then regenerates the keep verdicts from the
+COMMITTED attributes without touching document text at all (the point of
+the split: at 100 TB the taggers are the corpus scan, the mixer is a
+scan of a narrow numeric table ~1% the size). Heavier attribute families
+(gopher stats, LM perplexity, dedup flags) keep their own operators —
+in Dolma, too, each tagger ships its own attribute namespace; this table
+is the always-on cheap family every policy consults.
+
+Reference parity: the reference engine has no analog (its quality
+decisions live inline in the ingestion path, src/ingestion/pipeline.py)
+— this module exists for the training-pipeline mandate, not reference
+parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import duckdb_sql as dsql
+from ..functions.text import (
+    detect_language_col,
+    punct_ratio_col,
+    stopword_ratio_col,
+    tidy_col,
+    token_count_col,
+)
+from .common import table
+from .textstats import qc_logit_col, qc_logit_sql
+
+
+def base_attributes_frame(docs: DataFrame) -> DataFrame:
+    """The single-pass tagger family over any (doc_id, text) frame: pure
+    whole-stage-codegen projection, no Exchange, no Python. The digest is
+    stored as lowercase hex (a PERSISTED table column read by humans and
+    mixers — the 16-byte-binary discipline applies to SHUFFLE keys, and
+    nothing here shuffles)."""
+    logit = qc_logit_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(tidy_col(F.col("text"))).alias("n_chars"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
+        F.round(logit, 6).alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_prob"
+        ),
+        detect_language_col(F.col("text")).alias("pred_lang"),
+        F.md5("text").alias("text_digest"),
+    )
+
+
+def doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return base_attributes_frame(table(spark, sf_dir, "documents"))
+
+
+DOC_ATTRIBUTES_SQL = f"""
+select doc_id,
+       length({dsql.tidy_sql('text')}) as n_chars,
+       {dsql.token_count_sql('text')} as n_tokens,
+       round({dsql.stopword_ratio_sql('text')}, 6) as stopword_ratio,
+       round({dsql.punct_ratio_sql('text')}, 6) as punct_ratio,
+       round({qc_logit_sql('text')}, 6) as quality_logit,
+       round(1.0 / (1.0 + exp(-{qc_logit_sql('text')})), 6) as quality_prob,
+       {dsql.detect_language_sql('text')} as pred_lang,
+       md5(text) as text_digest
+from documents
+"""
+
+# The default mix policy — ordered: the mixer reports the FIRST failing
+# rule, so order is part of the contract (cheap rules first, the audit
+# reads "why was this dropped" deterministically).
+MIX_MIN_TOKENS = 15
+MIX_MIN_STOPWORD = 0.02
+MIX_MIN_PROB = 0.5
+MIX_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+def mix_verdict_cols() -> tuple[Column, Column]:
+    """(keep, reason) over attribute COLUMNS — shared by the driver query
+    and the job's --mix stage so the two can never disagree."""
+    rules = [
+        ("min_tokens", F.col("n_tokens") >= MIX_MIN_TOKENS),
+        ("min_stopword", F.col("stopword_ratio") >= MIX_MIN_STOPWORD),
+        ("min_quality", F.col("quality_prob") >= MIX_MIN_PROB),
+        ("lang", F.col("pred_lang").isin(*MIX_LANGS)),
+    ]
+    keep = rules[0][1]
+    for _, cond in rules[1:]:
+        keep = keep & cond
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(~cond, F.lit(name)).otherwise(reason)
+    return keep, reason
+
+
+def attribute_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    attrs = base_attributes_frame(table(spark, sf_dir, "documents"))
+    keep, reason = mix_verdict_cols()
+    return attrs.select(
+        "doc_id", keep.alias("keep"), reason.alias("reason")
+    )
+
+
+def _mixer_sql() -> str:
+    conds = {
+        "min_tokens": f"n_tokens >= {MIX_MIN_TOKENS}",
+        "min_stopword": f"stopword_ratio >= {MIX_MIN_STOPWORD}",
+        "min_quality": f"quality_prob >= {MIX_MIN_PROB}",
+        "lang": "pred_lang in ("
+        + ", ".join(f"'{lg}'" for lg in MIX_LANGS)
+        + ")",
+    }
+    whens = " ".join(
+        f"when not ({c}) then '{name}'" for name, c in conds.items()
+    )
+    allc = " and ".join(f"({c})" for c in conds.values())
+    return f"""
+with attrs as ({DOC_ATTRIBUTES_SQL})
+select doc_id,
+       ({allc}) as keep,
+       (case {whens} else null end) as reason
+from attrs
+"""
+
+
+ATTRIBUTE_MIXER_SQL = _mixer_sql()
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+EXTRA_QUERIES = {
+    "doc_attributes": doc_attributes,
+    "attribute_mixer": attribute_mixer,
+}
+EXTRA_ORACLES = {
+    "doc_attributes": DOC_ATTRIBUTES_SQL,
+    "attribute_mixer": ATTRIBUTE_MIXER_SQL,
+}

@@ -1,0 +1,96 @@
+"""jobs/attributes_job.py — the Dolma-style tagger/mixer split: tag once
+(idempotent keyed append + resume anti-join), mix cheaply and repeatedly
+(atomic-swap regenerate over the committed attributes, never re-reading
+document text)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    rows = [
+        (
+            i,
+            "the quick brown fox jumps over the lazy dog and keeps "
+            f"the lights on in town number {i}",
+            "en",
+            "s0",
+            80,
+        )
+        for i in range(10)
+    ] + [
+        (100, "tiny", "en", "s0", 4),  # fails min_tokens
+        (101, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii "
+              "hh gg ff ee", "en", "s0", 60),  # no stopwords -> fails
+    ]
+    out = str(tmp_path_factory.mktemp("attrs") / "documents.parquet")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(out)
+    return out
+
+
+def _run_job(monkeypatch, spark, argv):
+    import jobs.attributes_job as J
+
+    monkeypatch.setattr(sys, "argv", ["attributes_job.py"] + argv)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    J.main()
+
+
+def test_tag_resume_and_mix(spark, docs_path, tmp_path, monkeypatch):
+    out = str(tmp_path / "out")
+    _run_job(monkeypatch, spark, ["--input", docs_path, "--output", out])
+    attrs = spark.read.parquet(os.path.join(out, "doc_attributes"))
+    assert attrs.count() == 12
+    assert attrs.select("doc_id").distinct().count() == 12
+
+    # resume: replay must not duplicate rows (keyed append + anti-join)
+    _run_job(
+        monkeypatch, spark,
+        ["--input", docs_path, "--output", out, "--resume"],
+    )
+    assert spark.read.parquet(os.path.join(out, "doc_attributes")).count() == 12
+
+    # mix over the COMMITTED attributes — verdicts match the shared policy
+    _run_job(
+        monkeypatch, spark,
+        ["--input", docs_path, "--output", out, "--resume", "--mix"],
+    )
+    verdicts = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in spark.read.parquet(
+            os.path.join(out, "mix_verdicts")
+        ).collect()
+    }
+    assert len(verdicts) == 12
+    assert verdicts[100] == (False, "min_tokens")
+    assert verdicts[101][0] is False
+    assert verdicts[101][1] in ("min_stopword", "min_quality")
+    kept = [d for d, (k, _) in verdicts.items() if k]
+    assert kept and all(d < 100 for d in kept)
+    for d, (k, reason) in verdicts.items():
+        assert (reason is None) == bool(k)
+
+
+def test_mix_reruns_without_touching_text(spark, docs_path, tmp_path,
+                                          monkeypatch):
+    """The split's contract: a --mix re-run consumes ONLY the attributes
+    table. Proven by deleting the documents input after tagging — the
+    mixer must still succeed."""
+    out = str(tmp_path / "out")
+    _run_job(monkeypatch, spark, ["--input", docs_path, "--output", out])
+
+    moved = str(tmp_path / "moved.parquet")
+    os.rename(docs_path, moved)
+    try:
+        _run_job(monkeypatch, spark, ["--output", out, "--mix-only"])
+    finally:
+        os.rename(moved, docs_path)
+    assert spark.read.parquet(os.path.join(out, "mix_verdicts")).count() == 12

@@ -1634,3 +1634,24 @@ def test_corpus_datacard_null_text_docs_counted(spark):
     assert by_cell[("a", "en")]["dup_docs"] == 2
     assert by_cell[("b", "en")]["n_docs"] == 1
     assert by_cell[("b", "en")]["dup_docs"] == 1
+
+
+def test_doc_attributes_and_mixer_plans_zero_exchange(spark):
+    """The tagger family and the mixer are pure whole-stage-codegen
+    projections — NO Exchange, no Join, no Window: every expensive
+    expression (tokenize, ratios, logit, langid argmax) evaluates exactly
+    once per doc in the scan stage. (The persisted-table mixer path is
+    the same projection over the attributes parquet —
+    tests/test_attributes_job.py drives it.)"""
+    from docling_rag_spark.operators.attributes import (
+        attribute_mixer,
+        doc_attributes,
+    )
+
+    for fn in (doc_attributes, attribute_mixer):
+        df = fn(spark, SF)
+        df.collect()
+        plan = _formatted_plan(df)
+        assert "Exchange" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
