@@ -71,6 +71,7 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "latest_event_per_user",
+    "event_percentiles",
 ]
 
 

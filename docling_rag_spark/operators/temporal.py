@@ -227,6 +227,108 @@ from events a join events b
  and epoch_us(b.ts) < epoch_us(a.ts) + {_RANGE_US}
 """
 
+# --------------------------------------------------------------------------
+# Distributed percentiles (round 6): exact-at-quantization order statistics
+# over an unbounded numeric column — the scale-correct alternative to
+# Spark's exact `percentile` aggregate, whose per-group buffer holds every
+# value of the group in one task (a corpus-sized group = an OOM, the same
+# reason the suite bans unbounded windows). Here the values fold into a
+# CLAMPED 0.01-wide histogram first (groupBy(event_type, qv) —
+# map-combined, structurally ≤ types × PCTL_QB_MAX+1 cells), the
+# cumulative window runs over those bounded cells (the token_budget /
+# ccnet discipline), and each percentile is the lower bound of the first
+# cell whose cumulative count covers it. Threshold tests are exact
+# integer comparisons (2·cum ≥ n, 20·cum ≥ 19·n, 100·cum ≥ 99·n), so the
+# engines can never disagree on a boundary; the contract is "exact to the
+# cell" (±0.01), which is what approx_percentile also promises — but
+# deterministically, and with a DuckDB-checkable oracle. NULL values ride
+# the histogram as zero-count cells (the identical-subtree rule), never a
+# filter; a NULL-only group reports n_values = 0 and NULL percentiles.
+# --------------------------------------------------------------------------
+PCTL_Q = 100
+PCTL_QB_MAX = 100_000
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    qv = F.when(
+        F.col("value").isNotNull(),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") * PCTL_Q).cast("bigint"), F.lit(0)
+            ),
+            F.lit(PCTL_QB_MAX),
+        ),
+    )
+    hist = (
+        ev.select("event_type", qv.alias("qv"))
+        .groupBy("event_type", "qv")
+        .agg(
+            F.sum(
+                F.when(F.col("qv").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("cnt")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hc = hist.select(
+        "event_type",
+        "qv",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def cell(cond):
+        return F.min(F.when(F.col("qv").isNotNull() & cond, F.col("qv")))
+
+    return hc.groupBy("event_type").agg(
+        F.max("n").alias("n_values"),
+        (cell(2 * F.col("cum") >= F.col("n")) / F.lit(float(PCTL_Q))).alias(
+            "p50"
+        ),
+        (
+            cell(20 * F.col("cum") >= 19 * F.col("n")) / F.lit(float(PCTL_Q))
+        ).alias("p95"),
+        (
+            cell(100 * F.col("cum") >= 99 * F.col("n"))
+            / F.lit(float(PCTL_Q))
+        ).alias("p99"),
+    )
+
+
+EVENT_PERCENTILES_SQL = f"""
+with q as (
+  select event_type,
+         case when value is not null then
+           least(greatest(cast(floor(value * {PCTL_Q}) as bigint), 0),
+                 {PCTL_QB_MAX}) end as qv
+  from events
+),
+hist as (
+  select event_type, qv,
+         sum(case when qv is not null then 1 else 0 end)::bigint as cnt
+  from q group by 1, 2
+),
+hc as (
+  select *,
+         sum(cnt) over (partition by event_type order by qv
+           rows between unbounded preceding and current row)::bigint as cum,
+         sum(cnt) over (partition by event_type)::bigint as n
+  from hist
+)
+select event_type, max(n)::bigint as n_values,
+       min(case when qv is not null and 2 * cum >= n then qv end)
+         / {PCTL_Q}.0 as p50,
+       min(case when qv is not null and 20 * cum >= 19 * n then qv end)
+         / {PCTL_Q}.0 as p95,
+       min(case when qv is not null and 100 * cum >= 99 * n then qv end)
+         / {PCTL_Q}.0 as p99
+from hc group by event_type
+"""
+
 QUERIES = {
     "asof_join": asof_join_orders_events,
     "sessionize_events": sessionize_events,
@@ -236,4 +338,10 @@ ORACLES = {
     "asof_join": ASOF_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "range_join": RANGE_JOIN_SQL,
+}
+EXTRA_QUERIES = {
+    "event_percentiles": event_value_percentiles,
+}
+EXTRA_ORACLES = {
+    "event_percentiles": EVENT_PERCENTILES_SQL,
 }

@@ -1655,3 +1655,53 @@ def test_doc_attributes_and_mixer_plans_zero_exchange(spark):
         assert "Exchange" not in plan, fn.__name__
         assert "Join" not in plan, fn.__name__
         assert "Window" not in plan, fn.__name__
+
+
+def test_event_percentiles_order_statistic_semantics(spark):
+    """The cell rule IS an order statistic: the first cell whose
+    cumulative count satisfies the integer threshold contains the
+    ceil(p·n)-th smallest value, so each reported percentile must equal
+    floor(that value × Q)/Q exactly — cross-checked against a driver-side
+    sort per event type."""
+    import math
+
+    from docling_rag_spark.operators.temporal import (
+        PCTL_Q,
+        event_value_percentiles,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in event_value_percentiles(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type = {}
+    for e in ev:
+        if e["value"] is not None:
+            by_type.setdefault(e["event_type"], []).append(e["value"])
+    assert set(got) >= set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert got[t]["n_values"] == n
+        for p, col in ((1, "p50"), (19, "p95"), (99, "p99")):
+            den = {1: 2, 19: 20, 99: 100}[p]
+            k = math.ceil(p * n / den)
+            want = math.floor(vals[k - 1] * PCTL_Q) / PCTL_Q
+            assert got[t][col] == want, (t, col, got[t][col], want)
+
+
+def test_event_percentiles_plan_bounded_windows_only(spark):
+    """No exact-percentile buffer, no value-keyed shuffle: every hash
+    Exchange is keyed on the histogram cell space or the event_type
+    rollup — the per-group state is the clamped histogram, never the
+    values themselves."""
+    from docling_rag_spark.operators.temporal import event_value_percentiles
+
+    df = event_value_percentiles(spark, SF)
+    df.collect()
+    plan = _formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_type#" in line, line
