@@ -19,6 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from docling_rag_spark.operators import (  # noqa: E402
     attributes,
+    bpe,
     dedup,
     embed,
     extraction_queries,
@@ -34,6 +35,7 @@ from docling_rag_spark.operators import (  # noqa: E402
 _MODULES = [
     extraction_queries,
     attributes,
+    bpe,
     dedup,
     similarity,
     textstats,

@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_keywords",
     "lm_perplexity",
     "ccnet_buckets",
+    "bpe_merges",
     "pricing_summary",
     "revenue_by_nation",
     "latest_event_per_user",

@@ -1705,3 +1705,52 @@ def test_event_percentiles_plan_bounded_windows_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "event_type#" in line, line
+
+
+def test_bpe_merges_matches_pure_python_reference(spark):
+    """Live lockstep: the distributed merge loop must reproduce the
+    single-process reference (kernels/bpe_ref.py) row-for-row on the real
+    corpus — the same reference that generates the committed golden, so
+    operator ≡ golden ≡ reference stays transitive."""
+    from docling_rag_spark.kernels.bpe_ref import (
+        bpe_merges_reference,
+        word_freqs,
+    )
+    from docling_rag_spark.operators.bpe import bpe_merges
+
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges(spark, SF).orderBy("step").collect()
+    ]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    want = bpe_merges_reference(word_freqs([d["text"] for d in docs]))
+    assert got == want
+    assert len(got) == 8
+
+
+def test_bpe_merge_fold_non_overlapping(spark):
+    """Pin the overlap contract on both engines' shared spec: merging
+    (a, a) in 'aaaa' consumes pairs LEFT-TO-RIGHT NON-OVERLAPPING — the
+    count is 3 (all adjacent occurrences) but the rewrite is [aa, aa],
+    and 'aaa' becomes [aa, a], never [a, aa]."""
+    from docling_rag_spark.kernels.bpe_ref import (
+        _merge_seq,
+        bpe_merges_reference,
+    )
+    from docling_rag_spark.operators.bpe import bpe_merges_frame
+
+    assert _merge_seq(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _merge_seq(list("aaaa"), "a", "a") == ["aa", "aa"]
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa")], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges_frame(docs, k=3).orderBy("step").collect()
+    ]
+    want = bpe_merges_reference({"aaaa": 2}, k=3)
+    assert got == want
+    assert got[0] == (1, "a", "a", "aa", 6)       # 3 adjacent pairs x 2 docs
+    assert got[1] == (2, "aa", "aa", "aaaa", 2)   # non-overlap: [aa, aa]
+    assert len(got) == 2                          # then no pairs remain
