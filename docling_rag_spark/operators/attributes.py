@@ -94,13 +94,18 @@ MIX_LANGS = ("en", "de", "es", "fr", "zh")
 
 def mix_verdict_cols() -> tuple[Column, Column]:
     """(keep, reason) over attribute COLUMNS — shared by the driver query
-    and the job's --mix stage so the two can never disagree."""
+    and the job's --mix stage so the two can never disagree. Every rule is
+    NULL-coalesced to a FAIL: a NULL attribute (a NULL-text doc's
+    n_tokens/quality) must yield keep=false with its first failing rule
+    named, never a NULL verdict that vanishes from both the keep and the
+    drop audit."""
     rules = [
         ("min_tokens", F.col("n_tokens") >= MIX_MIN_TOKENS),
         ("min_stopword", F.col("stopword_ratio") >= MIX_MIN_STOPWORD),
         ("min_quality", F.col("quality_prob") >= MIX_MIN_PROB),
         ("lang", F.col("pred_lang").isin(*MIX_LANGS)),
     ]
+    rules = [(n, F.coalesce(c, F.lit(False))) for n, c in rules]
     keep = rules[0][1]
     for _, cond in rules[1:]:
         keep = keep & cond
@@ -110,22 +115,29 @@ def mix_verdict_cols() -> tuple[Column, Column]:
     return keep, reason
 
 
-def attribute_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    attrs = base_attributes_frame(table(spark, sf_dir, "documents"))
+def mixer_frame(attrs: DataFrame) -> DataFrame:
+    """The verdict projection — ONE definition consumed by the driver
+    query and the job's --mix stage (schema drift between the two would
+    silently fork the audit format)."""
     keep, reason = mix_verdict_cols()
     return attrs.select(
         "doc_id", keep.alias("keep"), reason.alias("reason")
     )
 
 
+def attribute_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixer_frame(base_attributes_frame(table(spark, sf_dir, "documents")))
+
+
 def _mixer_sql() -> str:
     conds = {
-        "min_tokens": f"n_tokens >= {MIX_MIN_TOKENS}",
-        "min_stopword": f"stopword_ratio >= {MIX_MIN_STOPWORD}",
-        "min_quality": f"quality_prob >= {MIX_MIN_PROB}",
-        "lang": "pred_lang in ("
+        "min_tokens": f"coalesce(n_tokens >= {MIX_MIN_TOKENS}, false)",
+        "min_stopword":
+            f"coalesce(stopword_ratio >= {MIX_MIN_STOPWORD}, false)",
+        "min_quality": f"coalesce(quality_prob >= {MIX_MIN_PROB}, false)",
+        "lang": "coalesce(pred_lang in ("
         + ", ".join(f"'{lg}'" for lg in MIX_LANGS)
-        + ")",
+        + "), false)",
     }
     whens = " ".join(
         f"when not ({c}) then '{name}'" for name, c in conds.items()

@@ -240,22 +240,34 @@ from events a join events b
 # cell whose cumulative count covers it. Threshold tests are exact
 # integer comparisons (2·cum ≥ n, 20·cum ≥ 19·n, 100·cum ≥ 99·n), so the
 # engines can never disagree on a boundary; the contract is "exact to the
-# cell" (±0.01), which is what approx_percentile also promises — but
-# deterministically, and with a DuckDB-checkable oracle. NULL values ride
-# the histogram as zero-count cells (the identical-subtree rule), never a
-# filter; a NULL-only group reports n_values = 0 and NULL percentiles.
+# cell" (±0.01) WITHIN the saturating window [PCTL_QB_MIN, PCTL_QB_MAX]/Q
+# = [−1000, 1000] — values outside it land in the boundary cells (the
+# HDR-histogram convention: a saturated percentile reads exactly ±1000.0,
+# which is the honest "at or beyond the window edge" answer, never a
+# silently-wrong interior value). approx_percentile promises the same ε
+# class — but non-deterministically and without a DuckDB-checkable
+# oracle. NULL values ride the histogram as zero-count cells (the
+# identical-subtree rule), never a filter; a NULL-only group reports
+# n_values = 0 and NULL percentiles.
 # --------------------------------------------------------------------------
 PCTL_Q = 100
 PCTL_QB_MAX = 100_000
+PCTL_QB_MIN = -100_000
 
 
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    return value_percentiles_frame(table(spark, sf_dir, "events"))
+
+
+def value_percentiles_frame(ev: DataFrame) -> DataFrame:
+    """Core over any (event_type, value) frame — split from the sf_dir
+    entry point so tests can plant negative / out-of-window values."""
     qv = F.when(
         F.col("value").isNotNull(),
         F.least(
             F.greatest(
-                F.floor(F.col("value") * PCTL_Q).cast("bigint"), F.lit(0)
+                F.floor(F.col("value") * PCTL_Q).cast("bigint"),
+                F.lit(PCTL_QB_MIN),
             ),
             F.lit(PCTL_QB_MAX),
         ),
@@ -303,7 +315,8 @@ EVENT_PERCENTILES_SQL = f"""
 with q as (
   select event_type,
          case when value is not null then
-           least(greatest(cast(floor(value * {PCTL_Q}) as bigint), 0),
+           least(greatest(cast(floor(value * {PCTL_Q}) as bigint),
+                          {PCTL_QB_MIN}),
                  {PCTL_QB_MAX}) end as qv
   from events
 ),

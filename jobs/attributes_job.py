@@ -60,7 +60,7 @@ def main() -> None:
 
     from docling_rag_spark.operators.attributes import (
         base_attributes_frame,
-        mix_verdict_cols,
+        mixer_frame,
     )
     from docling_rag_spark.sources.sinks import (
         _has_parquet_files,
@@ -75,6 +75,10 @@ def main() -> None:
 
     attr_dir = os.path.join(args.output, "doc_attributes")
 
+    # the count is part of the TAG stage's summary — a --mix-only policy
+    # iteration must cost exactly ONE scan of the narrow table (the mixer
+    # read), not a second one for a log line
+    n_tagged = "unchanged"
     if not args.mix_only:
         docs = spark.read.parquet(args.input)
         todo = docs
@@ -83,18 +87,14 @@ def main() -> None:
             todo = docs.join(done, "doc_id", "left_anti")
         tagged = base_attributes_frame(todo)
         idempotent_append(spark, tagged, attr_dir, key="doc_id")
+        n_tagged = spark.read.parquet(attr_dir).count()
     elif not _has_parquet_files(attr_dir):
         raise SystemExit(f"--mix-only: no committed attributes at {attr_dir}")
-    n_tagged = spark.read.parquet(attr_dir).count()
 
     if args.mix or args.mix_only:
         mix_dir = os.path.join(args.output, "mix_verdicts")
         _recover_swap(mix_dir)
-        attrs = spark.read.parquet(attr_dir)
-        keep, reason = mix_verdict_cols()
-        verdicts = attrs.select(
-            "doc_id", keep.alias("keep"), reason.alias("reason")
-        )
+        verdicts = mixer_frame(spark.read.parquet(attr_dir))
         verdicts.write.mode("overwrite").parquet(mix_dir + ".tmp")
         _swap_in(mix_dir)
 

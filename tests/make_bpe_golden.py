@@ -10,7 +10,6 @@ live Spark run against the reference at sf0.001 so drift cannot go stale.
 
 from __future__ import annotations
 
-import hashlib
 import sys
 from pathlib import Path
 
@@ -18,26 +17,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from docling_rag_spark.kernels.bpe_ref import (  # noqa: E402
     bpe_merges_reference,
     word_freqs,
 )
 
+# the digest + sf list are the frozen shared spec owned by the extraction
+# golden generator — import, never copy (a forked digest writes goldens
+# no oracle slice ever matches)
+from make_extract_golden import SF_DIRS, corpus_key  # noqa: E402
+
 GOLDEN_DIR = Path(__file__).parent / "golden"
-SF_DIRS = [
-    "/root/testdata/sf0.001",
-    "/root/testdata/sf0.01",
-    "/root/testdata/sf0.1",
-]
-
-
-def corpus_key(docs: list[tuple[str, str]]) -> str:
-    parts = [
-        hashlib.md5((t or "").encode()).hexdigest()
-        for _d, t in sorted(docs, key=lambda p: str(p[0]))
-    ]
-    return hashlib.md5(",".join(parts).encode()).hexdigest()
 
 
 def main() -> None:

@@ -27,6 +27,7 @@ def docs_path(spark, tmp_path_factory):
         (100, "tiny", "en", "s0", 4),  # fails min_tokens
         (101, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii "
               "hh gg ff ee", "en", "s0", 60),  # no stopwords -> fails
+        (103, None, "en", "s0", 0),  # NULL text -> NULL attrs, keep=false
     ]
     out = str(tmp_path_factory.mktemp("attrs") / "documents.parquet")
     spark.createDataFrame(
@@ -48,15 +49,15 @@ def test_tag_resume_and_mix(spark, docs_path, tmp_path, monkeypatch):
     out = str(tmp_path / "out")
     _run_job(monkeypatch, spark, ["--input", docs_path, "--output", out])
     attrs = spark.read.parquet(os.path.join(out, "doc_attributes"))
-    assert attrs.count() == 12
-    assert attrs.select("doc_id").distinct().count() == 12
+    assert attrs.count() == 13
+    assert attrs.select("doc_id").distinct().count() == 13
 
     # resume: replay must not duplicate rows (keyed append + anti-join)
     _run_job(
         monkeypatch, spark,
         ["--input", docs_path, "--output", out, "--resume"],
     )
-    assert spark.read.parquet(os.path.join(out, "doc_attributes")).count() == 12
+    assert spark.read.parquet(os.path.join(out, "doc_attributes")).count() == 13
 
     # mix over the COMMITTED attributes — verdicts match the shared policy
     _run_job(
@@ -69,7 +70,9 @@ def test_tag_resume_and_mix(spark, docs_path, tmp_path, monkeypatch):
             os.path.join(out, "mix_verdicts")
         ).collect()
     }
-    assert len(verdicts) == 12
+    assert len(verdicts) == 13
+    # NULL-text doc: every NULL attribute coalesces to a FAIL, first rule
+    assert verdicts[103] == (False, "min_tokens")
     assert verdicts[100] == (False, "min_tokens")
     assert verdicts[101][0] is False
     assert verdicts[101][1] in ("min_stopword", "min_quality")
@@ -93,4 +96,4 @@ def test_mix_reruns_without_touching_text(spark, docs_path, tmp_path,
         _run_job(monkeypatch, spark, ["--output", out, "--mix-only"])
     finally:
         os.rename(moved, docs_path)
-    assert spark.read.parquet(os.path.join(out, "mix_verdicts")).count() == 12
+    assert spark.read.parquet(os.path.join(out, "mix_verdicts")).count() == 13

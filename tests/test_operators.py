@@ -1667,6 +1667,8 @@ def test_event_percentiles_order_statistic_semantics(spark):
 
     from docling_rag_spark.operators.temporal import (
         PCTL_Q,
+        PCTL_QB_MAX,
+        PCTL_QB_MIN,
         event_value_percentiles,
     )
 
@@ -1687,7 +1689,11 @@ def test_event_percentiles_order_statistic_semantics(spark):
         for p, col in ((1, "p50"), (19, "p95"), (99, "p99")):
             den = {1: 2, 19: 20, 99: 100}[p]
             k = math.ceil(p * n / den)
-            want = math.floor(vals[k - 1] * PCTL_Q) / PCTL_Q
+            cell = min(
+                max(math.floor(vals[k - 1] * PCTL_Q), PCTL_QB_MIN),
+                PCTL_QB_MAX,
+            )
+            want = cell / PCTL_Q
             assert got[t][col] == want, (t, col, got[t][col], want)
 
 
@@ -1754,3 +1760,28 @@ def test_bpe_merge_fold_non_overlapping(spark):
     assert got[0] == (1, "a", "a", "aa", 6)       # 3 adjacent pairs x 2 docs
     assert got[1] == (2, "aa", "aa", "aaaa", 2)   # non-overlap: [aa, aa]
     assert len(got) == 2                          # then no pairs remain
+
+
+def test_event_percentiles_negative_and_saturating_values(spark):
+    """Regression (self-review round 6): the clamp floor was 0, so an
+    all-negative group reported p50 = 0.0 — unbounded error. The window
+    is now symmetric and SATURATING (HDR-histogram convention): in-window
+    negatives are exact to the cell, beyond-window values read exactly
+    the boundary (±1000.0), never a silently-wrong interior value."""
+    from docling_rag_spark.operators.temporal import value_percentiles_frame
+
+    rows = [("refund", -5.0 - i / 100.0) for i in range(10)]
+    rows += [("huge", 5000.0), ("huge", 6000.0), ("huge", -4000.0)]
+    got = {
+        r["event_type"]: r
+        for r in value_percentiles_frame(
+            spark.createDataFrame(rows, "event_type string, value double")
+        ).collect()
+    }
+    # refund values are -5.00 .. -5.09; p50 = ceil(10/2)=5th smallest
+    assert got["refund"]["n_values"] == 10
+    assert got["refund"]["p50"] == -5.05
+    assert got["refund"]["p99"] == -5.0
+    # saturation: beyond-window values pin to the boundary cells
+    assert got["huge"]["p50"] == 1000.0
+    assert got["huge"]["p99"] == 1000.0
