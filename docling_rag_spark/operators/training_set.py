@@ -890,10 +890,17 @@ def unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count_col
 
     docs = table(spark, sf_dir, "documents")
+    # coalesce NULL token counts (NULL text) to 0: a NULL supply would ride
+    # the waterfill as a NULL cap — counted in L but never capped, stealing
+    # an unconsumed fair share (budget underfill), with engine-divergent
+    # NULL ordering on top; a 0 cap instead caps immediately at 0 and the
+    # waterfill redistributes its share exactly (hypothesis-caught)
     per_doc = docs.select(
         "doc_id",
         "lang",
-        token_count_col(F.col("text")).cast("bigint").alias("n_tok"),
+        F.coalesce(
+            token_count_col(F.col("text")).cast("bigint"), F.lit(0)
+        ).alias("n_tok"),
     )
     # supply table: bigint sums stay exact; doubles derived once from them
     counts = per_doc.groupBy("lang").agg(F.sum("n_tok").alias("nl")).cache()
@@ -979,7 +986,8 @@ def _unimax_budget_sql() -> str:
     )
     return f"""
 with pd as (
-  select doc_id, lang, ({dsql.token_count_sql('text')})::bigint as n_tok
+  select doc_id, lang,
+         coalesce(({dsql.token_count_sql('text')})::bigint, 0) as n_tok
   from documents
 ),
 c as (
