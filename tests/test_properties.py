@@ -166,3 +166,60 @@ def test_bpe_fold_matches_reference_on_random_words(spark):
         }
         for i, w in enumerate(words):
             assert got[i] == _merge_seq(w, lhs, rhs), (lhs, rhs, w, got[i])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(
+                st.sampled_from(["red", "blue", "fish", "dog", "cat"]),
+                min_size=0,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@_SETTINGS
+def test_ccnet_tertile_invariants(docs_spec):
+    """For ANY corpus (including <2-token docs and single-doc languages):
+    bucket is NULL iff nll is NULL; per language the head holds ≥ a third
+    of the scored mass and head+middle ≥ two thirds; buckets are strictly
+    nll-ordered at cell granularity (cells are bucket-atomic, so values
+    can never straddle)."""
+    from docling_rag_spark.operators.textstats import CCNET_BUCKETS_SQL
+
+    docs = pd.DataFrame(
+        [
+            (i, " ".join(words) if words else None, lang)
+            for i, (lang, words) in enumerate(docs_spec)
+        ],
+        columns=["doc_id", "text", "lang"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = con.execute(CCNET_BUCKETS_SQL).df()
+    con.close()
+    assert len(out) == len(docs)
+    for lang, grp in out.groupby("lang"):
+        scored = grp[grp["nll"].notna()]
+        unscored = grp[grp["nll"].isna()]
+        assert unscored["bucket"].isna().all()
+        if len(scored) == 0:
+            continue
+        assert scored["bucket"].notna().all()
+        n = len(scored)
+        by_b = {b: g["nll"] for b, g in scored.groupby("bucket")}
+        head = by_b.get("head", pd.Series(dtype=float))
+        middle = by_b.get("middle", pd.Series(dtype=float))
+        tail = by_b.get("tail", pd.Series(dtype=float))
+        assert 3 * len(head) >= n
+        assert 3 * (len(head) + len(middle)) >= 2 * n
+        if len(head) and len(middle):
+            assert head.max() < middle.min()
+        if len(middle) and len(tail):
+            assert middle.max() < tail.min()
+        if len(head) and len(tail):
+            assert head.max() < tail.min()
