@@ -223,3 +223,52 @@ def test_ccnet_tertile_invariants(docs_spec):
             assert middle.max() < tail.min()
         if len(head) and len(tail):
             assert head.max() < tail.min()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.sampled_from(["en", "de"]),
+            st.one_of(
+                st.none(),
+                st.sampled_from(
+                    ["the cat", "a dog runs", "blue fish", "the cat", ""]
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@_SETTINGS
+def test_datacard_dup_accounting_matches_pandas_reference(rows):
+    """For ANY corpus (duplicate texts spanning cells, NULL and empty
+    texts): every cell's n_docs partitions the corpus, and dup_docs
+    counts exactly the docs whose text (NULL keyed as its own group)
+    occurs more than once CORPUS-WIDE — cross-checked against a direct
+    pandas computation."""
+    from collections import Counter
+
+    from docling_rag_spark.operators.textstats import CORPUS_DATACARD_SQL
+
+    docs = pd.DataFrame(
+        [(i, t, lg, src, 0) for i, (src, lg, t) in enumerate(rows)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = con.execute(CORPUS_DATACARD_SQL).df()
+    con.close()
+    assert out["n_docs"].sum() == len(rows)
+    corpus_counts = Counter(t for _s, _l, t in rows)  # None is a key too
+    want = {}
+    for src, lg, t in rows:
+        cell = (src, lg)
+        n, d = want.get(cell, (0, 0))
+        want[cell] = (n + 1, d + (1 if corpus_counts[t] > 1 else 0))
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["dup_docs"])
+        for _i, r in out.iterrows()
+    }
+    assert got == want
