@@ -490,8 +490,19 @@ def run_extraction(
     use it when materializing more than one of the three outputs in the
     same job batch (e.g. the streaming sink), since extracted/lineage would
     otherwise each re-run the extraction kernel.
+
+    * ``auto``: probe the per-doc span-count distribution and pick for you
+      (choose_extraction_mode) — spread only when a giant-document
+      straggler is actually present. The probe costs one size-only pass
+      over the spans column (no kernel CPU); at very large scale prefer
+      passing a precomputed span-count table statistic and choosing the
+      mode at the caller, or accept the pass — a wrong narrow choice costs
+      more (one 60k-span doc serializes an entire executor-hour behind a
+      single task; the skew demo measures 2.1× on a mild version).
     """
     todo = resume_filter(docs, prior_lineage)
+    if mode == "auto":
+        mode = choose_extraction_mode(todo)
     if mode == "narrow":
         if repartition_to:
             # honor the knob in narrow mode too: round-robin whole-doc rows
@@ -528,6 +539,33 @@ def run_extraction(
         extracted = order_spans(blocks)
         lineage = lineage_from_blocks(blocks, run_id, run_ts=run_ts)
     else:
-        raise ValueError(f"unknown mode {mode!r} (narrow|spread)")
+        raise ValueError(f"unknown mode {mode!r} (narrow|spread|auto)")
     chunks = chunk_spans(extracted)
     return extracted, chunks, lineage
+
+
+# auto-mode decision thresholds: spread pays a shuffle on every payload
+# byte, so it must only win when a straggler is REAL — a giant doc both
+# absolutely large (a 4k-span doc still fits a task) AND far off the
+# corpus median (a uniformly-heavy corpus is parallel already; splitting
+# buys nothing and costs the shuffle)
+AUTO_SKEW_MIN_SPANS = 5_000
+AUTO_SKEW_RATIO = 50.0
+
+
+def choose_extraction_mode(docs: DataFrame) -> str:
+    """'spread' iff the span-count distribution shows a true giant-doc
+    straggler: max ≥ AUTO_SKEW_MIN_SPANS and max ≥ AUTO_SKEW_RATIO ×
+    MEDIAN (the median is the robust center — the giant itself drags the
+    MEAN up by its own mass, hiding exactly the skew being probed for).
+    One aggregate over size(spans) — no payload kernel work, the driver
+    gets two numbers (approx-percentile sketch state, mergeable)."""
+    row = docs.agg(
+        F.max(F.size("spans")).alias("mx"),
+        F.percentile_approx(F.size("spans"), 0.5).alias("med"),
+    ).collect()[0]
+    mx = row["mx"] or 0
+    med = row["med"] or 0
+    if mx >= AUTO_SKEW_MIN_SPANS and mx >= AUTO_SKEW_RATIO * max(med, 1):
+        return "spread"
+    return "narrow"

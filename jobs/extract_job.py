@@ -39,7 +39,8 @@ def main() -> None:
     p.add_argument("--input", required=True, help="parquet path (or Iceberg table via --format iceberg)")
     p.add_argument("--output", required=True)
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
-    p.add_argument("--mode", default="narrow", choices=["narrow", "spread"])
+    p.add_argument("--mode", default="narrow",
+                   choices=["narrow", "spread", "auto"])
     p.add_argument("--repartition-to", type=int, default=None,
                    help="spread-mode round-robin width (skew defuse)")
     p.add_argument("--resume", action="store_true",

@@ -137,3 +137,47 @@ def test_modified_doc_reingest_predicate(spark):
     ex, _, lin3 = run_extraction(todo2, run_id="r3")
     assert {r["doc_id"] for r in lin3.collect()} == {"touched", "brandnew"}
     assert {r["doc_id"] for r in ex.collect()} == {"touched", "brandnew"}
+
+
+def test_auto_mode_picks_narrow_on_uniform_spread_on_giant(spark):
+    """choose_extraction_mode: a uniform corpus stays narrow (spread would
+    pay a payload shuffle for nothing); a corpus with one true giant doc
+    (absolutely large AND far off the mean) flips to spread; and
+    run_extraction(mode='auto') produces output identical to the explicit
+    mode on both corpora."""
+    from docling_rag_spark.pipeline import (
+        AUTO_SKEW_MIN_SPANS,
+        choose_extraction_mode,
+        run_extraction,
+    )
+
+    uniform = spark.createDataFrame(
+        [
+            (f"u{i}", build_spans(f"u{i}", "the quick brown fox and the hen"))
+            for i in range(300, 320)
+        ],
+        schema=DOCUMENTS_SPANS_SCHEMA,
+    )
+    assert choose_extraction_mode(uniform) == "narrow"
+
+    giant_spans = [
+        {"kind": "text", "text": f"word {i}", "media_ref": None, "offset": i}
+        for i in range(AUTO_SKEW_MIN_SPANS + 10)
+    ]
+    skewed = spark.createDataFrame(
+        [("giant", giant_spans)]
+        + [
+            (f"u{i}", build_spans(f"u{i}", "the quick brown fox"))
+            for i in range(300, 310)
+        ],
+        schema=DOCUMENTS_SPANS_SCHEMA,
+    )
+    assert choose_extraction_mode(skewed) == "spread"
+
+    # auto output ≡ the explicitly chosen mode's output
+    for corpus, explicit in ((uniform, "narrow"), (skewed, "spread")):
+        got, _, _ = run_extraction(corpus, run_id="auto", mode="auto")
+        want, _, _ = run_extraction(corpus, run_id="auto", mode=explicit)
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, want.collect()))
+        assert a == b
