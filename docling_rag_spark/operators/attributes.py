@@ -85,25 +85,43 @@ from documents
 
 # The default mix policy — ordered: the mixer reports the FIRST failing
 # rule, so order is part of the contract (cheap rules first, the audit
-# reads "why was this dropped" deterministically).
+# reads "why was this dropped" deterministically). A policy is DATA, not
+# code (the Dolma mixer convention): jobs/attributes_job.py --policy
+# points at a JSON file with any subset of these keys, so threshold
+# iteration never edits source.
 MIX_MIN_TOKENS = 15
 MIX_MIN_STOPWORD = 0.02
 MIX_MIN_PROB = 0.5
 MIX_LANGS = ("en", "de", "es", "fr", "zh")
 
+DEFAULT_POLICY: dict = {
+    "min_tokens": MIX_MIN_TOKENS,
+    "min_stopword": MIX_MIN_STOPWORD,
+    "min_quality": MIX_MIN_PROB,
+    "langs": list(MIX_LANGS),
+}
 
-def mix_verdict_cols() -> tuple[Column, Column]:
+
+def mix_verdict_cols(policy: dict | None = None) -> tuple[Column, Column]:
     """(keep, reason) over attribute COLUMNS — shared by the driver query
     and the job's --mix stage so the two can never disagree. Every rule is
     NULL-coalesced to a FAIL: a NULL attribute (a NULL-text doc's
     n_tokens/quality) must yield keep=false with its first failing rule
     named, never a NULL verdict that vanishes from both the keep and the
-    drop audit."""
+    drop audit. ``policy`` overrides any subset of DEFAULT_POLICY;
+    unknown keys fail loud (a typo'd threshold must not silently apply
+    the default)."""
+    p = dict(DEFAULT_POLICY)
+    if policy:
+        unknown = set(policy) - set(p)
+        if unknown:
+            raise ValueError(f"unknown policy keys: {sorted(unknown)}")
+        p.update(policy)
     rules = [
-        ("min_tokens", F.col("n_tokens") >= MIX_MIN_TOKENS),
-        ("min_stopword", F.col("stopword_ratio") >= MIX_MIN_STOPWORD),
-        ("min_quality", F.col("quality_prob") >= MIX_MIN_PROB),
-        ("lang", F.col("pred_lang").isin(*MIX_LANGS)),
+        ("min_tokens", F.col("n_tokens") >= p["min_tokens"]),
+        ("min_stopword", F.col("stopword_ratio") >= p["min_stopword"]),
+        ("min_quality", F.col("quality_prob") >= p["min_quality"]),
+        ("lang", F.col("pred_lang").isin(*p["langs"])),
     ]
     rules = [(n, F.coalesce(c, F.lit(False))) for n, c in rules]
     keep = rules[0][1]
@@ -115,11 +133,11 @@ def mix_verdict_cols() -> tuple[Column, Column]:
     return keep, reason
 
 
-def mixer_frame(attrs: DataFrame) -> DataFrame:
+def mixer_frame(attrs: DataFrame, policy: dict | None = None) -> DataFrame:
     """The verdict projection — ONE definition consumed by the driver
     query and the job's --mix stage (schema drift between the two would
     silently fork the audit format)."""
-    keep, reason = mix_verdict_cols()
+    keep, reason = mix_verdict_cols(policy)
     return attrs.select(
         "doc_id", keep.alias("keep"), reason.alias("reason")
     )

@@ -51,6 +51,11 @@ def main() -> None:
                    help="policy iteration: skip tagging entirely and "
                         "regenerate the verdicts from the COMMITTED "
                         "attributes — the corpus is never read")
+    p.add_argument("--policy", default=None,
+                   help="JSON file overriding any subset of "
+                        "operators.attributes.DEFAULT_POLICY (min_tokens, "
+                        "min_stopword, min_quality, langs); unknown keys "
+                        "fail loud")
     p.add_argument("--run-id", default=None)
     args = p.parse_args()
     if not args.mix_only and not args.input:
@@ -92,9 +97,15 @@ def main() -> None:
         raise SystemExit(f"--mix-only: no committed attributes at {attr_dir}")
 
     if args.mix or args.mix_only:
+        policy = None
+        if args.policy:
+            import json
+
+            with open(args.policy) as fh:
+                policy = json.load(fh)
         mix_dir = os.path.join(args.output, "mix_verdicts")
         _recover_swap(mix_dir)
-        verdicts = mixer_frame(spark.read.parquet(attr_dir))
+        verdicts = mixer_frame(spark.read.parquet(attr_dir), policy)
         verdicts.write.mode("overwrite").parquet(mix_dir + ".tmp")
         _swap_in(mix_dir)
 

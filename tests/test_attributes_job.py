@@ -97,3 +97,40 @@ def test_mix_reruns_without_touching_text(spark, docs_path, tmp_path,
     finally:
         os.rename(moved, docs_path)
     assert spark.read.parquet(os.path.join(out, "mix_verdicts")).count() == 13
+
+
+def test_policy_file_overrides_thresholds(spark, docs_path, tmp_path,
+                                          monkeypatch):
+    """--policy is data, not code: a stricter min_tokens from a JSON file
+    flips previously-kept docs to (False, 'min_tokens') in a --mix-only
+    rerun — the corpus untouched, the source unedited; an unknown policy
+    key fails loud instead of silently applying the default."""
+    import json
+
+    import pytest as _pytest
+
+    from docling_rag_spark.operators.attributes import mix_verdict_cols
+
+    out = str(tmp_path / "out")
+    _run_job(monkeypatch, spark, ["--input", docs_path, "--output", out,
+                                  "--mix"])
+    base = {
+        r["doc_id"]: r["keep"]
+        for r in spark.read.parquet(os.path.join(out, "mix_verdicts")).collect()
+    }
+    assert any(base.values())
+
+    pol = str(tmp_path / "strict.json")
+    with open(pol, "w") as fh:
+        json.dump({"min_tokens": 10_000}, fh)
+    _run_job(monkeypatch, spark, ["--output", out, "--mix-only",
+                                  "--policy", pol])
+    strict = {
+        (r["doc_id"]): (r["keep"], r["reason"])
+        for r in spark.read.parquet(os.path.join(out, "mix_verdicts")).collect()
+    }
+    assert all(k is False and reason == "min_tokens"
+               for k, reason in strict.values())
+
+    with _pytest.raises(ValueError, match="unknown policy keys"):
+        mix_verdict_cols({"min_tokons": 1})
