@@ -56,14 +56,6 @@ def stopword_ratio_col(c: Column) -> Column:
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
 
 
-def lang_hits_col(c: Column, lang: str) -> Column:
-    """Marker-token hits in the first 500 chars (kernels.textutils spec)."""
-    markers = dict(LANG_MARKERS)[lang]
-    toks = tokens_col(F.lower(F.substring(c, 1, 500)))
-    arr = F.array(*[F.lit(m) for m in sorted(markers)])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-
 def detect_language_col(c: Column) -> Column:
     """Most marker hits wins; ties → earlier language in LANG_MARKERS;
     all-zero → 'en'.
@@ -110,7 +102,10 @@ def detect_language_col(c: Column) -> Column:
         best = F.array_max(F.array(*entries))
         return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en"))
 
-    return F.aggregate(toks, init, step, finish)
+    # NULL text → NULL token array → NULL fold: coalesce to the spec's
+    # 'en' fallback (the DuckDB mirror and the pre-fold form both return
+    # 'en' there — self-review-caught engine divergence)
+    return F.coalesce(F.aggregate(toks, init, step, finish), F.lit("en"))
 
 
 def shingles_col(c: Column, n: int = 3) -> Column:

@@ -116,6 +116,21 @@ def mix_verdict_cols(policy: dict | None = None) -> tuple[Column, Column]:
         unknown = set(policy) - set(p)
         if unknown:
             raise ValueError(f"unknown policy keys: {sorted(unknown)}")
+        # value-type validation — fail loud on the easy JSON mistakes:
+        # "langs": "en" would splat into isin('e', 'n') and silently drop
+        # everything; a bool/str threshold would compare nonsensically
+        for key in ("min_tokens", "min_stopword", "min_quality"):
+            if key in policy and (
+                isinstance(policy[key], bool)
+                or not isinstance(policy[key], (int, float))
+            ):
+                raise ValueError(f"policy {key!r} must be numeric")
+        if "langs" in policy and (
+            not isinstance(policy["langs"], (list, tuple))
+            or not all(isinstance(lg, str) for lg in policy["langs"])
+            or not policy["langs"]
+        ):
+            raise ValueError("policy 'langs' must be a non-empty string list")
         p.update(policy)
     rules = [
         ("min_tokens", F.col("n_tokens") >= p["min_tokens"]),

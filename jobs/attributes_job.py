@@ -60,6 +60,10 @@ def main() -> None:
     args = p.parse_args()
     if not args.mix_only and not args.input:
         p.error("--input is required unless --mix-only")
+    if args.policy and not (args.mix or args.mix_only):
+        p.error("--policy requires --mix or --mix-only (verdicts are "
+                "not regenerated otherwise — the policy would be "
+                "silently ignored)")
 
     from pyspark.sql import SparkSession
 

@@ -134,3 +134,39 @@ def test_policy_file_overrides_thresholds(spark, docs_path, tmp_path,
 
     with _pytest.raises(ValueError, match="unknown policy keys"):
         mix_verdict_cols({"min_tokons": 1})
+
+
+def test_policy_value_type_validation():
+    """Malformed policy VALUES fail loud, not silently: a string 'langs'
+    would splat into per-character isin and drop everything."""
+    import pytest as _pytest
+
+    from docling_rag_spark.operators.attributes import mix_verdict_cols
+
+    for bad in (
+        {"langs": "en"},
+        {"langs": []},
+        {"langs": [1, 2]},
+        {"min_tokens": "15"},
+        {"min_quality": True},
+    ):
+        with _pytest.raises(ValueError):
+            mix_verdict_cols(bad)
+    mix_verdict_cols({"langs": ["en"], "min_tokens": 3})  # valid
+
+
+def test_policy_without_mix_fails_loud(spark, docs_path, tmp_path,
+                                       monkeypatch):
+    """--policy with neither --mix nor --mix-only is a user error (the
+    verdicts would not be regenerated) — argparse rejects it."""
+    import pytest as _pytest
+
+    pol = str(tmp_path / "p.json")
+    with open(pol, "w") as fh:
+        fh.write("{}")
+    with _pytest.raises(SystemExit):
+        _run_job(
+            monkeypatch, spark,
+            ["--input", docs_path, "--output", str(tmp_path / "o"),
+             "--policy", pol],
+        )

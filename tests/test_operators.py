@@ -1785,3 +1785,42 @@ def test_event_percentiles_negative_and_saturating_values(spark):
     # saturation: beyond-window values pin to the boundary cells
     assert got["huge"]["p50"] == 1000.0
     assert got["huge"]["p99"] == 1000.0
+
+
+def test_detect_language_null_and_empty_text_cross_engine(spark):
+    """Regression (self-review round 6): the langid fold rewrite returned
+    NULL for NULL text (F.aggregate over a NULL array) while the DuckDB
+    mirror and the kernel spec return 'en'. Pin all three fallback cases
+    against the SQL mirror directly."""
+    import duckdb
+
+    from docling_rag_spark.functions import duckdb_sql as dsql
+    from docling_rag_spark.functions.text import detect_language_col
+
+    texts = [None, "", "zzz qqq", "el perro de la casa que los gatos"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["lang"]
+        for r in df.select(
+            "i", detect_language_col(F.col("text")).alias("lang")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "t",
+        __import__("pandas").DataFrame(
+            {"i": range(len(texts)), "text": texts}
+        ),
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"select i, {dsql.detect_language_sql('text')} from t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert got[0] == "en" and got[1] == "en" and got[2] == "en"
+    assert got[3] == "es"
