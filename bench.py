@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_incremental",
     "dedup_semantic",
+    "source_overlap_matrix",
     "diversify_prototypes",
     "knn_bruteforce",
     "knn_ivf_batch",

@@ -844,3 +844,61 @@ left join hits h using (doc_id)
 
 EXTRA_QUERIES["dedup_incremental"] = incremental_dedup
 EXTRA_ORACLES["dedup_incremental"] = INCREMENTAL_DEDUP_SQL
+
+
+# --------------------------------------------------------------------------
+# Source overlap matrix (round 6): roll the minhash near-dup CANDIDATE
+# pairs up to (source, source) cells — the corpus-audit question "how much
+# does source A duplicate source B" that decides which feed to drop before
+# paying a full dedup pass (the datacard's cross-source sibling: the card
+# counts exact dups per cell, this counts NEAR-dup mass between cells).
+# Scale shape: the pair frame is the banded O(n)-bucket candidate set
+# (never all-pairs), the two source lookups are plain equi-joins on doc id
+# (corpus-proportional sides, unhinted per module policy — AQE decides,
+# and a doc-id join key is uniform so an SMJ fallback stays splittable),
+# and the rollup is a map-combined groupBy over ≤ sources² cells. The
+# source pair is CANONICALIZED (least, greatest) so (a,b) and (b,a) land
+# in one cell regardless of pair orientation.
+# --------------------------------------------------------------------------
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("n_shared_bands").alias("total_shared_bands"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+with pairs as (
+  {MINHASH_LSH_SQL.strip().rstrip(';')}
+),
+s as (select doc_id, source from documents)
+select least(sa.source, sb.source) as source_a,
+       greatest(sa.source, sb.source) as source_b,
+       count(*)::bigint as n_pairs,
+       sum(n_shared_bands)::bigint as total_shared_bands
+from pairs
+join s sa on pairs.doc_a = sa.doc_id
+join s sb on pairs.doc_b = sb.doc_id
+group by 1, 2
+"""
+
+EXTRA_QUERIES["source_overlap_matrix"] = source_overlap_matrix
+EXTRA_ORACLES["source_overlap_matrix"] = SOURCE_OVERLAP_SQL

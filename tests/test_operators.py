@@ -1824,3 +1824,30 @@ def test_detect_language_null_and_empty_text_cross_engine(spark):
     assert got == want
     assert got[0] == "en" and got[1] == "en" and got[2] == "en"
     assert got[3] == "es"
+
+
+def test_source_overlap_matrix_planted_cross_source(spark, tmp_path):
+    """A near-dup pair spanning sources lands in the canonical
+    (least, greatest) cell; a within-source pair lands on the diagonal;
+    unrelated docs produce no cell."""
+    from docling_rag_spark.operators.dedup import source_overlap_matrix
+
+    dup = "the quick brown fox jumps over the lazy dog tonight again"
+    other = "completely different words about ships and harbors at dawn"
+    rows = [
+        (1, dup, "en", "s1", 10),
+        (2, dup, "en", "s0", 10),          # cross-source near-dup
+        (3, other, "en", "s0", 10),
+        (4, other, "en", "s0", 10),        # within-source near-dup
+        (5, "nothing shared here at all zebra quartz", "en", "s1", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in source_overlap_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got[("s0", "s1")] == 1
+    assert got[("s0", "s0")] == 1
+    assert ("s1", "s1") not in got
