@@ -493,6 +493,59 @@ ORACLES["text_redact_pii"] = REDACT_PII_SQL
 
 
 # --------------------------------------------------------------------------
+# Word-blocklist filter (round 6): the C4-style "bad words" gate — count
+# blocklisted tokens per doc and keep only clean docs (C4 drops any page
+# with a single hit; the ratio is emitted so stricter/looser policies can
+# mix on it). The list here is a deterministic stand-in for the configured
+# blocklist a production run mounts (C4 uses a public profanity list);
+# ONE tokenization, one interpreted membership filter per row, zero
+# Exchange — the same single-pass projection class as quality_classifier.
+# The driver corpus's 31-word vocabulary contains no blocklisted token, so
+# the oracle run degenerates to all-clean; the behavioral gate is the
+# planted cross-engine pytest (the PII pattern).
+# --------------------------------------------------------------------------
+BLOCKLIST_WORDS = ("casino", "jackpot", "lottery", "viagra", "xxx")
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"), lower=True)
+    arr = F.array(*[F.lit(w) for w in BLOCKLIST_WORDS])
+    n_hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return docs.select(
+        "doc_id",
+        n_hits.alias("n_blocked"),
+        F.round(
+            n_hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("blocked_ratio"),
+        (n_hits == 0).alias("keep"),
+    )
+
+
+_BLOCKLIST_SQL_ARR = "[" + ", ".join(f"'{w}'" for w in BLOCKLIST_WORDS) + "]"
+
+BLOCKLIST_FILTER_SQL = f"""
+with t as (
+  select doc_id, {dsql.tokens_sql('text', lower=True)} as toks from documents
+),
+h as (
+  select doc_id,
+         len(list_filter(toks,
+             x -> list_contains({_BLOCKLIST_SQL_ARR}, x))) as n_blocked,
+         len(toks) as n_tok
+  from t
+)
+select doc_id, n_blocked,
+       round((n_blocked::double) / greatest(n_tok, 1), 6) as blocked_ratio,
+       (n_blocked = 0) as keep
+from h
+"""
+
+
+
+# --------------------------------------------------------------------------
 # TF-IDF keyword extraction (round 5): top-K terms per document by
 # tf × ln(N/df) — the classic per-doc keyword/topic signal a corpus
 # analysis pipeline wants next to language/quality. Relational shape: one
@@ -1055,12 +1108,14 @@ from sc left join thr t using (lang)
 EXTRA_QUERIES = {
     "quality_classifier": quality_classifier,
     "corpus_datacard": corpus_datacard,
+    "blocklist_filter": blocklist_filter,
     "lm_perplexity": lm_perplexity,
     "ccnet_buckets": ccnet_buckets,
 }
 EXTRA_ORACLES = {
     "quality_classifier": QUALITY_CLASSIFIER_SQL,
     "corpus_datacard": CORPUS_DATACARD_SQL,
+    "blocklist_filter": BLOCKLIST_FILTER_SQL,
     "lm_perplexity": LM_PERPLEXITY_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,
 }

@@ -1851,3 +1851,43 @@ def test_source_overlap_matrix_planted_cross_source(spark, tmp_path):
     assert got[("s0", "s1")] == 1
     assert got[("s0", "s0")] == 1
     assert ("s1", "s1") not in got
+
+
+def test_blocklist_filter_planted_cross_engine(spark, tmp_path):
+    """The driver corpus contains no blocklisted token (the oracle run
+    degenerates to all-clean), so plant hits and compare Spark vs DuckDB
+    row-for-row — counts, ratio, and the C4 single-hit drop rule."""
+    import duckdb
+    import pandas as pd
+
+    from docling_rag_spark.operators.textstats import (
+        BLOCKLIST_FILTER_SQL,
+        blocklist_filter,
+    )
+
+    rows = [
+        (1, "a clean document about boats", "en", "s0", 28),
+        (2, "win the LOTTERY and the Casino jackpot now", "en", "s0", 42),
+        (3, "xxx", "en", "s0", 3),
+        (4, "", "en", "s0", 0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(
+        (r["doc_id"], r["n_blocked"], r["blocked_ratio"], r["keep"])
+        for r in blocklist_filter(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(map(tuple, con.execute(BLOCKLIST_FILTER_SQL).fetchall()))
+    con.close()
+    assert got == want
+    by_id = {g[0]: g for g in got}
+    assert by_id[1][3] is True and by_id[1][1] == 0
+    assert by_id[2][1] == 3 and by_id[2][3] is False  # lowered matching
+    assert by_id[3] == (3, 1, 1.0, False)
+    assert by_id[4] == (4, 0, 0.0, True)  # empty doc: ratio guard
