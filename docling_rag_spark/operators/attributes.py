@@ -41,7 +41,13 @@ from ..functions.text import (
     token_count_col,
 )
 from .common import table
-from .textstats import qc_logit_col, qc_logit_sql
+from .textstats import (
+    blocklist_cols,
+    blocklist_n_sql,
+    blocklist_ratio_sql,
+    qc_logit_col,
+    qc_logit_sql,
+)
 
 
 def base_attributes_frame(docs: DataFrame) -> DataFrame:
@@ -51,6 +57,7 @@ def base_attributes_frame(docs: DataFrame) -> DataFrame:
     mixers — the 16-byte-binary discipline applies to SHUFFLE keys, and
     nothing here shuffles)."""
     logit = qc_logit_col(F.col("text"))
+    n_blocked, blocked_ratio = blocklist_cols(F.col("text"))
     return docs.select(
         "doc_id",
         F.length(tidy_col(F.col("text"))).alias("n_chars"),
@@ -62,6 +69,8 @@ def base_attributes_frame(docs: DataFrame) -> DataFrame:
             "quality_prob"
         ),
         detect_language_col(F.col("text")).alias("pred_lang"),
+        n_blocked.alias("n_blocked"),
+        blocked_ratio.alias("blocked_ratio"),
         F.md5("text").alias("text_digest"),
     )
 
@@ -79,6 +88,8 @@ select doc_id,
        round({qc_logit_sql('text')}, 6) as quality_logit,
        round(1.0 / (1.0 + exp(-{qc_logit_sql('text')})), 6) as quality_prob,
        {dsql.detect_language_sql('text')} as pred_lang,
+       {blocklist_n_sql('text')} as n_blocked,
+       {blocklist_ratio_sql('text')} as blocked_ratio,
        md5(text) as text_digest
 from documents
 """
@@ -99,6 +110,8 @@ DEFAULT_POLICY: dict = {
     "min_stopword": MIX_MIN_STOPWORD,
     "min_quality": MIX_MIN_PROB,
     "langs": list(MIX_LANGS),
+    # C4 rule: a single blocklisted token drops the doc; raise to tolerate
+    "max_blocked": 0,
 }
 
 
@@ -119,7 +132,8 @@ def mix_verdict_cols(policy: dict | None = None) -> tuple[Column, Column]:
         # value-type validation — fail loud on the easy JSON mistakes:
         # "langs": "en" would splat into isin('e', 'n') and silently drop
         # everything; a bool/str threshold would compare nonsensically
-        for key in ("min_tokens", "min_stopword", "min_quality"):
+        for key in ("min_tokens", "min_stopword", "min_quality",
+                    "max_blocked"):
             if key in policy and (
                 isinstance(policy[key], bool)
                 or not isinstance(policy[key], (int, float))
@@ -137,6 +151,7 @@ def mix_verdict_cols(policy: dict | None = None) -> tuple[Column, Column]:
         ("min_stopword", F.col("stopword_ratio") >= p["min_stopword"]),
         ("min_quality", F.col("quality_prob") >= p["min_quality"]),
         ("lang", F.col("pred_lang").isin(*p["langs"])),
+        ("blocklist", F.col("n_blocked") <= p["max_blocked"]),
     ]
     rules = [(n, F.coalesce(c, F.lit(False))) for n, c in rules]
     keep = rules[0][1]
@@ -171,6 +186,7 @@ def _mixer_sql() -> str:
         "lang": "coalesce(pred_lang in ("
         + ", ".join(f"'{lg}'" for lg in MIX_LANGS)
         + "), false)",
+        "blocklist": "coalesce(n_blocked <= 0, false)",
     }
     whens = " ".join(
         f"when not ({c}) then '{name}'" for name, c in conds.items()

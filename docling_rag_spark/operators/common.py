@@ -62,6 +62,19 @@ def scoped_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+def carry_scope(derived: DataFrame, *upstream: DataFrame) -> DataFrame:
+    """Extend scoped_cache lifetimes across a derivation: an operator that
+    returns a join/groupBy OF a scoped_cache result must keep the UPSTREAM
+    result object alive through the caller's terminal action — otherwise
+    its finalizers release the cache before the derived plan ever runs
+    (correct, lineage recomputes, but the cache is silently wasted — the
+    scoped_cache caller contract). Attaching the upstream frames to the
+    derived frame chains the refcounts: the caches release exactly when
+    the DERIVED result is dropped."""
+    derived._scope_upstream = upstream
+    return derived
+
+
 def banded_pairs(
     keyed: DataFrame, id_col: str, band_cols: list[str], payload_cols: list[str]
 ) -> DataFrame:

@@ -863,6 +863,8 @@ EXTRA_ORACLES["dedup_incremental"] = INCREMENTAL_DEDUP_SQL
 
 
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import carry_scope
+
     pairs = minhash_lsh_pairs(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     a = src.select(
@@ -871,7 +873,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = src.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
     )
-    return (
+    out = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .groupBy(
@@ -883,6 +885,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_shared_bands").alias("total_shared_bands"),
         )
     )
+    # keep the pairs frame (and with it the banded signature cache)
+    # alive through the caller's action — dropping the local here would
+    # fire its scoped_cache finalizers before the derived plan runs
+    return carry_scope(out, pairs)
 
 
 SOURCE_OVERLAP_SQL = f"""

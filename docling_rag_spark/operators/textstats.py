@@ -507,40 +507,53 @@ ORACLES["text_redact_pii"] = REDACT_PII_SQL
 BLOCKLIST_WORDS = ("casino", "jackpot", "lottery", "viagra", "xxx")
 
 
-def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def blocklist_cols(text: Column) -> tuple[Column, Column]:
+    """(n_blocked, blocked_ratio) — shared by the standalone filter query
+    and the doc_attributes tagger row (the mixer gates on the attribute,
+    so a blocklist-policy change re-mixes the narrow table instead of
+    re-reading the corpus)."""
     from ..functions.text import tokens_col
 
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"), lower=True)
+    toks = tokens_col(text, lower=True)
     arr = F.array(*[F.lit(w) for w in BLOCKLIST_WORDS])
     n_hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    ratio = F.round(
+        n_hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
+    )
+    return n_hits, ratio
+
+
+def blocklist_n_sql(c: str) -> str:
+    return (
+        f"len(list_filter({dsql.tokens_sql(c, lower=True)}, "
+        f"x -> list_contains({dsql.sql_list(BLOCKLIST_WORDS)}, x)))"
+    )
+
+
+def blocklist_ratio_sql(c: str) -> str:
+    return (
+        f"round(({blocklist_n_sql(c)}::double)"
+        f" / greatest(len({dsql.tokens_sql(c, lower=True)}), 1), 6)"
+    )
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_hits, ratio = blocklist_cols(F.col("text"))
     return docs.select(
         "doc_id",
         n_hits.alias("n_blocked"),
-        F.round(
-            n_hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
-        ).alias("blocked_ratio"),
+        ratio.alias("blocked_ratio"),
         (n_hits == 0).alias("keep"),
     )
 
 
-_BLOCKLIST_SQL_ARR = "[" + ", ".join(f"'{w}'" for w in BLOCKLIST_WORDS) + "]"
-
 BLOCKLIST_FILTER_SQL = f"""
-with t as (
-  select doc_id, {dsql.tokens_sql('text', lower=True)} as toks from documents
-),
-h as (
-  select doc_id,
-         len(list_filter(toks,
-             x -> list_contains({_BLOCKLIST_SQL_ARR}, x))) as n_blocked,
-         len(toks) as n_tok
-  from t
-)
-select doc_id, n_blocked,
-       round((n_blocked::double) / greatest(n_tok, 1), 6) as blocked_ratio,
-       (n_blocked = 0) as keep
-from h
+select doc_id,
+       {blocklist_n_sql('text')} as n_blocked,
+       {blocklist_ratio_sql('text')} as blocked_ratio,
+       ({blocklist_n_sql('text')} = 0) as keep
+from documents
 """
 
 

@@ -28,6 +28,9 @@ def docs_path(spark, tmp_path_factory):
         (101, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii "
               "hh gg ff ee", "en", "s0", 60),  # no stopwords -> fails
         (103, None, "en", "s0", 0),  # NULL text -> NULL attrs, keep=false
+        (104, "win the casino jackpot tonight with all the lottery "
+              "numbers and the prize money for the whole town to see",
+         "en", "s0", 100),  # passes everything EXCEPT the blocklist
     ]
     out = str(tmp_path_factory.mktemp("attrs") / "documents.parquet")
     spark.createDataFrame(
@@ -49,15 +52,15 @@ def test_tag_resume_and_mix(spark, docs_path, tmp_path, monkeypatch):
     out = str(tmp_path / "out")
     _run_job(monkeypatch, spark, ["--input", docs_path, "--output", out])
     attrs = spark.read.parquet(os.path.join(out, "doc_attributes"))
-    assert attrs.count() == 13
-    assert attrs.select("doc_id").distinct().count() == 13
+    assert attrs.count() == 14
+    assert attrs.select("doc_id").distinct().count() == 14
 
     # resume: replay must not duplicate rows (keyed append + anti-join)
     _run_job(
         monkeypatch, spark,
         ["--input", docs_path, "--output", out, "--resume"],
     )
-    assert spark.read.parquet(os.path.join(out, "doc_attributes")).count() == 13
+    assert spark.read.parquet(os.path.join(out, "doc_attributes")).count() == 14
 
     # mix over the COMMITTED attributes — verdicts match the shared policy
     _run_job(
@@ -70,9 +73,10 @@ def test_tag_resume_and_mix(spark, docs_path, tmp_path, monkeypatch):
             os.path.join(out, "mix_verdicts")
         ).collect()
     }
-    assert len(verdicts) == 13
+    assert len(verdicts) == 14
     # NULL-text doc: every NULL attribute coalesces to a FAIL, first rule
     assert verdicts[103] == (False, "min_tokens")
+    assert verdicts[104] == (False, "blocklist")
     assert verdicts[100] == (False, "min_tokens")
     assert verdicts[101][0] is False
     assert verdicts[101][1] in ("min_stopword", "min_quality")
@@ -96,7 +100,7 @@ def test_mix_reruns_without_touching_text(spark, docs_path, tmp_path,
         _run_job(monkeypatch, spark, ["--output", out, "--mix-only"])
     finally:
         os.rename(moved, docs_path)
-    assert spark.read.parquet(os.path.join(out, "mix_verdicts")).count() == 13
+    assert spark.read.parquet(os.path.join(out, "mix_verdicts")).count() == 14
 
 
 def test_policy_file_overrides_thresholds(spark, docs_path, tmp_path,
