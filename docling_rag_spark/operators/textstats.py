@@ -284,8 +284,9 @@ GOPHER_TOP3_FRAC_MAX = 0.18
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 shape (verdict #4): TWO branches — a scalar-stats projection
     and ONE tagged n-gram pipeline for BOTH gram sizes (structs (n, gram)
-    for n∈{2,3} out of a single Generate; per-(doc, n) top gram from one
-    window; pivot to columns) — joined per doc. The old plan ran THREE
+    for n∈{2,3} out of a single Generate; per-(doc, n) top gram via a
+    conditional struct-min argmax folded into one groupBy — round 7,
+    replacing the window + pivot) — joined per doc. The old plan ran THREE
     branches (stats, top-2-gram, top-3-gram) = three scans + three
     tokenizations.
 
@@ -295,8 +296,6 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSE) would re-evaluate once per EMITTED GRAM row: measured 12.2s vs
     ~2s at sf0.1. Two scans of the source beat one scan plus a full-data
     token-array shuffle at any scale; the join side is one row per doc."""
-    from pyspark.sql import Window
-
     from ..functions.text import tokens_col
     from ..kernels.textutils import LANG_MARKERS
 
@@ -346,21 +345,41 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = rows.groupBy(
         "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
     ).agg(F.count("*").alias("cnt"), F.max("n_chars").alias("n_chars"))
-    w = Window.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
-    frac = F.round(
-        F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
-            F.col("cnt") * F.length("gram") / F.col("n_chars")
-        ),
-        6,
+    # per-(doc, n) argmax as a conditional struct-MIN aggregation (round 7),
+    # replacing the row_number window + pivot groupBy: min over
+    # struct(-cnt, gram) orders by (cnt desc, gram asc) — the identical
+    # tie-break — and both gram sizes fold in ONE map-combined
+    # groupBy(doc_id), so the plan drops the (doc_id, n) window
+    # exchange+sort AND the separate pivot exchange (3 exchanges + 1 sort
+    # over the gram rows → 2 exchanges, both map-side combined).
+    def _best(n: int):
+        return F.min(
+            F.when(
+                F.col("n") == n,
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("gram").alias("gram")
+                ),
+            )
+        ).alias(f"b{n}")
+
+    folded = counts.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"), _best(2), _best(3)
     )
-    top = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .withColumn("frac", frac)
-    )
-    pivot = top.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 2, F.col("frac"))).alias("f2"),
-        F.max(F.when(F.col("n") == 3, F.col("frac"))).alias("f3"),
+
+    def _frac_of(b):
+        return F.when(b.isNull(), F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+                    (-b["nc"]) * F.length(b["gram"]) / F.col("n_chars")
+                ),
+                6,
+            )
+        )
+
+    pivot = folded.select(
+        "doc_id",
+        _frac_of(F.col("b2")).alias("f2"),
+        _frac_of(F.col("b3")).alias("f3"),
     )
     out = (
         stats.join(pivot, "doc_id", "left")
@@ -1033,6 +1052,12 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CCNET_QB_MAX),
         ),
     )
+    # NOT cached (round-7 measurement): the static plan duplicates the lm
+    # scoring subtree under both consumers (histogram + output join), but
+    # the FINAL adaptive plan already serves both from the same corpus
+    # bigram shuffle (ReusedExchange, plan-asserted) — caching the scored
+    # frame measured a wash (2.9s ±0.1 either way at sf0.1) and would only
+    # add executor storage, so the reuse shape stays.
     scored = base.select("doc_id", "lang", "nll", qb.alias("qb"))
     hist = scored.groupBy("lang", "qb").agg(
         F.sum(

@@ -474,12 +474,22 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count_col
     from .textstats import qc_logit_col
 
+    from .common import scoped_cache
+
     docs = table(spark, sf_dir, "documents")
     # THE quality_classifier scoring path (shared qc_logit_col — one
     # definition, so the budget ranking and the filter can never drift)
     logit = qc_logit_col(F.col("text"))
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     h = F.md5(F.concat_ws("|", F.lit(TBS_SEED), F.col("doc_id")))
+    # cached (round 7): the scored frame feeds THREE consumers — the
+    # histogram groupBy and both verdict-join branches (full-keep +
+    # boundary) — and Catalyst does not CSE across them, so the regex
+    # scoring pipeline (tokenize + stopword + punct + tidy) otherwise runs
+    # once per consumer over the full corpus (measured 3.5→1.6s warm at
+    # sf0.1, interleaved min-of-3). The cached frame is doc-rows × 7 narrow
+    # columns (no text), released when the caller drops the result
+    # (scoped_cache).
     d = docs.select(
         "doc_id",
         "source",
@@ -490,7 +500,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.floor(F.col("prob") * TBS_SCORE_BUCKETS).cast("int").alias("sb"),
         F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("jb"),
-    )
+    ).cache()
     hist = d.groupBy("source", "sb", "jb").agg(F.sum("n_tokens").alias("tb"))
     w_hist = (
         Window.partitionBy("source")
@@ -518,7 +528,9 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_before") + F.col("intra") < TBS_BUDGET)
     )
-    return full_keep.select(*out_cols).unionAll(bnd_keep.select(*out_cols))
+    return scoped_cache(
+        full_keep.select(*out_cols).unionAll(bnd_keep.select(*out_cols)), d
+    )
 
 
 def _token_budget_select_sql() -> str:
