@@ -45,34 +45,75 @@ from .textstats import (
     blocklist_cols,
     blocklist_n_sql,
     blocklist_ratio_sql,
-    qc_logit_col,
     qc_logit_sql,
 )
 
 
 def base_attributes_frame(docs: DataFrame) -> DataFrame:
     """The single-pass tagger family over any (doc_id, text) frame: pure
-    whole-stage-codegen projection, no Exchange, no Python. The digest is
-    stored as lowercase hex (a PERSISTED table column read by humans and
-    mixers — the 16-byte-binary discipline applies to SHUFFLE keys, and
-    nothing here shuffles)."""
-    logit = qc_logit_col(F.col("text"))
+    projection, no Exchange, no Python. The digest is stored as lowercase
+    hex (a PERSISTED table column read by humans and mixers — the
+    16-byte-binary discipline applies to SHUFFLE keys, and nothing here
+    shuffles).
+
+    Round-7 shape: two stages behind a scoped cache barrier. qc_logit_col
+    is DEFINED over the same ratio features emitted as sibling columns,
+    and CollapseProject re-inlines any intermediate projection — so the
+    flat round-6 select re-ran the tokenizer/HOF subtrees inside the logit
+    and AGAIN inside the prob (interpreted lambdas get no codegen CSE,
+    the round-4 lesson). Stage 1 evaluates every feature exactly once;
+    the logit is then the SAME formula term-for-term over the staged
+    columns (bit-identical doubles — the association order is qc_logit_col's;
+    exact-frame-equality verified), with the cache as the CollapseProject
+    barrier (the BM25 technique). Measured 2.04→1.81s warm at sf0.1.
+    Callers that derive from this frame must carry_scope the result."""
     n_blocked, blocked_ratio = blocklist_cols(F.col("text"))
-    return docs.select(
+    from .common import scoped_cache
+    from .textstats import (
+        QC_BIAS,
+        QC_W_LOG_CHARS,
+        QC_W_LOG_TOKENS,
+        QC_W_PUNCT,
+        QC_W_STOPWORD,
+    )
+
+    staged = docs.select(
         "doc_id",
         F.length(tidy_col(F.col("text"))).alias("n_chars"),
         token_count_col(F.col("text")).alias("n_tokens"),
         F.round(stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
         F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
-        F.round(logit, 6).alias("quality_logit"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
-            "quality_prob"
-        ),
         detect_language_col(F.col("text")).alias("pred_lang"),
         n_blocked.alias("n_blocked"),
         blocked_ratio.alias("blocked_ratio"),
         F.md5("text").alias("text_digest"),
+    ).cache()
+    # qc_logit_col's exact terms, read from the staged columns: rounded
+    # ratios and counts are what the shared definition feeds the linear
+    # combination, so the doubles cannot differ
+    logit = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + F.col("n_tokens"))
+        + F.lit(QC_W_STOPWORD) * F.col("stopword_ratio")
+        + F.lit(QC_W_PUNCT) * F.col("punct_ratio")
+        + F.lit(QC_W_LOG_CHARS) * F.log(F.lit(1.0) + F.col("n_chars"))
     )
+    out = staged.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        F.round(logit, 6).alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_prob"
+        ),
+        "pred_lang",
+        "n_blocked",
+        "blocked_ratio",
+        "text_digest",
+    )
+    return scoped_cache(out, staged)
 
 
 def doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +215,13 @@ def mixer_frame(attrs: DataFrame, policy: dict | None = None) -> DataFrame:
 
 
 def attribute_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mixer_frame(base_attributes_frame(table(spark, sf_dir, "documents")))
+    from .common import carry_scope
+
+    # carry_scope: the mixer DERIVES from the scoped-cached attributes
+    # frame — without attaching it, its cache would release before the
+    # derived plan runs (the scoped_cache caller contract)
+    attrs = base_attributes_frame(table(spark, sf_dir, "documents"))
+    return carry_scope(mixer_frame(attrs), attrs)
 
 
 def _mixer_sql() -> str:

@@ -1753,13 +1753,37 @@ def test_bpe_merge_fold_non_overlapping(spark):
     )
     got = [
         (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
-        for r in bpe_merges_frame(docs, k=3).orderBy("step").collect()
+        # driver_vocab_max=0 forces the DISTRIBUTED merge loop — this test
+        # pins the Spark-side carry fold, not the local reference
+        for r in bpe_merges_frame(docs, k=3, driver_vocab_max=0)
+        .orderBy("step")
+        .collect()
     ]
     want = bpe_merges_reference({"aaaa": 2}, k=3)
     assert got == want
     assert got[0] == (1, "a", "a", "aa", 6)       # 3 adjacent pairs x 2 docs
     assert got[1] == (2, "aa", "aa", "aaaa", 2)   # non-overlap: [aa, aa]
     assert len(got) == 2                          # then no pairs remain
+
+
+def test_bpe_driver_local_cutover_equals_distributed(spark):
+    """Round-7 optimization contract: the driver-local finish (word table
+    ≤ BPE_DRIVER_VOCAB_MAX collected once, merges run by the frozen-spec
+    pure-Python reference) must be row-identical to the distributed merge
+    loop on the same corpus — the two paths are one algorithm."""
+    from docling_rag_spark.operators.bpe import bpe_merges_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def rows(df):
+        return [
+            (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in df.orderBy("step").collect()
+        ]
+
+    local = rows(bpe_merges_frame(docs))              # vocab fits → local
+    dist = rows(bpe_merges_frame(docs, driver_vocab_max=0))
+    assert local == dist and len(local) == 8
 
 
 def test_event_percentiles_negative_and_saturating_values(spark):
