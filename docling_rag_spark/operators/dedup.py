@@ -93,28 +93,6 @@ def shingle_rows_from(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     return toks.select(id_col, F.explode(shingle_expr).alias("shingle"))
 
 
-def shingle_rows_from_tokens(
-    toked: DataFrame, id_col: str, n: int = 3, carry: tuple[str, ...] = ()
-) -> DataFrame:
-    """:func:`shingle_rows_from` over a PRE-STAGED lowered token array
-    column ``toks`` — callers that serve several shingle widths from one
-    cached tokenization (select_training_chunks) skip re-running the regex
-    tokenizer per branch. ``carry`` columns ride along. Same critical plan
-    shape as shingle_rows_from: explode sits DIRECTLY over the shingle
-    expression (see the module docstring's Generate caveat)."""
-    shingle_expr = F.when(
-        F.size("toks") < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        )
-    )
-    return toked.select(id_col, *carry, F.explode(shingle_expr).alias("shingle"))
-
-
 def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return shingle_rows_from(table(spark, sf_dir, "documents"), "doc_id", n)
 
@@ -158,9 +136,7 @@ def band_sigs(sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def lsh_bucket_dups(
-    sh: DataFrame, id_col: str, cache_sigs: bool = False
-) -> DataFrame:
+def lsh_bucket_dups(sh: DataFrame, id_col: str) -> DataFrame:
     """Keep-smallest-canonical LSH dedup WITHOUT materializing pairs: an id
     is a duplicate iff ANY of its band buckets contains a smaller id (it is
     not its bucket's minimum). One shuffle on (band, sig), output one column
@@ -173,32 +149,24 @@ def lsh_bucket_dups(
     + equi-join rather than a min-over window — the per-bucket min gets
     map-side partial aggregation AND the join is AQE-skew-splittable,
     while a window would sort every row of a mega-bucket in ONE task.
-    ``sigs`` feeds both join sides, so by default its linear shingle+
-    min-agg pass runs twice per action (recomputing a linear pass avoids
-    materializing an n-row signature table, and the probe side arrives
-    already hash-partitioned on (band, sig) from the agg).
-    ``cache_sigs=True`` persists the n×NUM_BANDS-row binary sig table
-    scoped to the RESULT's lifetime instead (round 7). Interleaved A/B at
-    sf0.1: best-case walls are a wash (2.4 vs 2.5s — the two passes
-    overlap on idle cores locally) but the cached variant halves the MEAN
-    (2.8 vs 4.5s) by never re-running the tokenize pass into a host
-    stall; MEMORY_AND_DISK, so at corpus scale it spills rather than
-    OOMs."""
+    ``sigs`` feeds both join sides, so its linear shingle+min-agg pass runs
+    twice per action — deliberate: at corpus scale recomputing a linear
+    pass beats materializing an n-row signature table, and the probe side
+    arrives already hash-partitioned on (band, sig) from the agg.
+    (Round-7 note: caching sigs scoped to the result was tried and
+    REVERTED — best-case walls were a wash (2.4 vs 2.5s at sf0.1, the two
+    passes overlap on idle cores) and joining against the cached relation
+    defeated AQE's broadcast conversion, planting a SortMergeJoin in the
+    final training_subset_chunks plan — the exact shape the scale contract
+    test forbids.)"""
     sigs = band_sigs(sh, id_col)
-    if cache_sigs:
-        sigs = sigs.cache()
     mins = sigs.groupBy("band", "sig").agg(F.min(id_col).alias("mid"))
-    out = (
+    return (
         sigs.join(mins, ["band", "sig"])
         .filter(F.col(id_col) > F.col("mid"))
         .select(id_col)
         .distinct()
     )
-    if cache_sigs:
-        from .common import scoped_cache
-
-        return scoped_cache(out, sigs)
-    return out
 
 
 def band_sig_pairs(
@@ -610,11 +578,18 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # a few-percent dup rate the loop frames shrink by >10×. Isolated docs
     # re-enter as their own singleton cluster in the final left join —
     # output identical. The bidirectional edge list makes doc_a alone cover
-    # every endpoint.
+    # every endpoint. Init label = min(self, neighbors) — exactly what
+    # iteration 1 would compute, for the price of ONE map-combined groupBy
+    # (no join, no checkpoint/convergence-job cycle): one full loop round
+    # saved, and propagation still converges to the component min (initial
+    # labels stay inside the component).
     labels, label_ids = _ckpt_tracked(
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("nb"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least(F.col("doc_a"), F.col("nb")).alias("cluster_id"),
+        )
     )
     for _ in range(CC_MAX_ITERS):
         neigh = (

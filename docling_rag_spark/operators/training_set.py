@@ -617,7 +617,6 @@ def select_training_chunks(chunks: DataFrame) -> DataFrame:
     runtime (at sandbox scale: all of them, plan-asserted in
     tests/test_operators.py). The only big shuffles are the two shingle
     groupBys already benchmarked in the dedup suite."""
-    from .common import carry_scope
     from .dedup import lsh_bucket_dups, shingle_rows_from
 
     # try_cast + coalesce the holdout predicate: a NON-numeric doc_id (a
@@ -629,20 +628,20 @@ def select_training_chunks(chunks: DataFrame) -> DataFrame:
     # deterministic %-slice holdout only applies to numeric ids (in
     # production the holdout is the benchmark table).
     #
-    # Round-7 measurement note: a staged-token-array cache (tokenize once,
-    # derive every shingle width from the cached array<string>) was
-    # prototyped and REJECTED — reading token arrays back from the
-    # columnar cache cost MORE than re-running the regex tokenizer
-    # (dups-from-cache 4.7s vs 3.0s from scratch at sf0.1), and the two
-    # 13-gram "passes" are filter-pushdown-split slices (2% + 98% = one
-    # pass). The one real redundancy was lsh_bucket_dups computing its
-    # signature table twice — fixed with cache_sigs below.
+    # Round-7 measurement notes, so the next round doesn't re-try them:
+    # (a) a staged-token-array cache (tokenize once, derive every shingle
+    # width from the cached array<string>) was prototyped and REJECTED —
+    # reading token arrays back from the columnar cache cost MORE than
+    # re-running the regex tokenizer (dups-from-cache 4.7s vs 3.0s from
+    # scratch at sf0.1), and the two 13-gram "passes" are filter-pushdown-
+    # split slices (2% + 98% = one pass); (b) caching lsh_bucket_dups'
+    # signature table was tried and REVERTED — wash on best-case walls,
+    # and the cached relation defeated AQE's broadcast conversion (SMJ in
+    # the final plan, forbidden by the scale-contract test).
     is_eval = F.coalesce(
         F.col("doc_id").try_cast("bigint") % DECON_EVAL_MOD == 0, F.lit(False)
     )
-    dups = lsh_bucket_dups(
-        shingle_rows_from(chunks, "id"), "id", cache_sigs=True
-    )
+    dups = lsh_bucket_dups(shingle_rows_from(chunks, "id"), "id")
     # eval/train gram rows via staged-token shingling (shingle_rows_from:
     # inlined shingles_col re-runs the tokenizer per slice element, 14×)
     # gram keys shuffle as 16-byte digests, not raw 13-gram strings (~6×
@@ -674,11 +673,8 @@ def select_training_chunks(chunks: DataFrame) -> DataFrame:
     )
     # anti-join sides unhinted (corpus-proportional — see docstring): AQE
     # picks broadcast at runtime while they are actually small
-    return carry_scope(
-        kept.join(dups, "id", "left_anti").join(
-            contaminated, "id", "left_anti"
-        ),
-        dups,
+    return kept.join(dups, "id", "left_anti").join(
+        contaminated, "id", "left_anti"
     )
 
 

@@ -54,7 +54,8 @@ def main() -> None:
     p.add_argument("--policy", default=None,
                    help="JSON file overriding any subset of "
                         "operators.attributes.DEFAULT_POLICY (min_tokens, "
-                        "min_stopword, min_quality, langs); unknown keys "
+                        "min_stopword, min_quality, langs, max_blocked); "
+                        "unknown keys "
                         "fail loud")
     p.add_argument("--run-id", default=None)
     args = p.parse_args()
