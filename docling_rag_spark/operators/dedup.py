@@ -153,12 +153,18 @@ def lsh_bucket_dups(sh: DataFrame, id_col: str) -> DataFrame:
     twice per action — deliberate: at corpus scale recomputing a linear
     pass beats materializing an n-row signature table, and the probe side
     arrives already hash-partitioned on (band, sig) from the agg.
-    (Round-7 note: caching sigs scoped to the result was tried and
-    REVERTED — best-case walls were a wash (2.4 vs 2.5s at sf0.1, the two
-    passes overlap on idle cores) and joining against the cached relation
-    defeated AQE's broadcast conversion, planting a SortMergeJoin in the
-    final training_subset_chunks plan — the exact shape the scale contract
-    test forbids.)"""
+
+    Round-7 materialization attempts, both measured and REJECTED so the
+    next round doesn't re-try them: (a) ``.cache()`` — joining against the
+    cached InMemoryRelation defeats AQE's runtime sort-merge→broadcast
+    conversion (SMJ in the EXECUTED plan, forbidden by the scale-contract
+    test) and best-case walls were a wash anyway; (b) eager
+    ``localCheckpoint`` — keeps the broadcast conversion and won the
+    ISOLATED dups branch by 0.7s (2.68 vs 3.38s), but lost ~0.5s on the
+    full training_subset_chunks query (interleaved A/B: 7.1-7.6 vs
+    6.6-7.3s): the eager materialization runs as its own job BEFORE the
+    main action, forfeiting the stage overlap the one-action plan gets
+    between the sig pass and the gram/scoring branches."""
     sigs = band_sigs(sh, id_col)
     mins = sigs.groupBy("band", "sig").agg(F.min(id_col).alias("mid"))
     return (

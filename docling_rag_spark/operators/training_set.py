@@ -634,10 +634,10 @@ def select_training_chunks(chunks: DataFrame) -> DataFrame:
     # reading token arrays back from the columnar cache cost MORE than
     # re-running the regex tokenizer (dups-from-cache 4.7s vs 3.0s from
     # scratch at sf0.1), and the two 13-gram "passes" are filter-pushdown-
-    # split slices (2% + 98% = one pass); (b) caching lsh_bucket_dups'
-    # signature table was tried and REVERTED — wash on best-case walls,
-    # and the cached relation defeated AQE's broadcast conversion (SMJ in
-    # the final plan, forbidden by the scale-contract test).
+    # split slices (2% + 98% = one pass); (b) materializing lsh_bucket_dups'
+    # signature table (cache AND eager localCheckpoint variants) — see the
+    # rejection record in lsh_bucket_dups' docstring; the one-action plan's
+    # stage overlap beats both.
     is_eval = F.coalesce(
         F.col("doc_id").try_cast("bigint") % DECON_EVAL_MOD == 0, F.lit(False)
     )
