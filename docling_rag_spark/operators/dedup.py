@@ -564,6 +564,18 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     10^12 docs this is the standard big-graph CC recipe (alternating
     small-star/large-star would cut iterations; candidate graphs from LSH
     are near-disjoint cliques, so plain propagation converges in ~2 steps).
+
+    Round-7 deeper-pointer-jumping experiment, measured and REJECTED (do
+    not re-try): applying the round-start label map 2-3× per round
+    (label(label(label(d))), extra label⟕label joins inside the same
+    action) did NOT cut rounds AT ALL on the real sf0.1 LSH graph —
+    5 rounds at every depth, interleaved A/B min walls 2.92/3.08/3.48s
+    for depth 1/2/3 (outputs verified identical). Convergence here is
+    bound by min-label flow ACROSS EDGES (overlapping near-cliques), not
+    by label-pointer path depth, so extra jumps are dead joins. Round
+    count is a graph-structure property; the remaining per-round fixed
+    cost needs a different recipe (bucket-propagation, see
+    OPTIMIZATION_r07.md "Not yet optimized").
     """
     spark = docs.sparkSession
     # undirected edge list (both directions) — propagation is symmetric.
