@@ -22,11 +22,14 @@ PUNCT_CLASS = r"[.,;:!?]"
 
 
 def tidy_col(c: Column) -> Column:
-    return F.trim(
-        F.regexp_replace(
-            F.regexp_replace(c, r"[\r\n]+|<!-- image -->", " "), r"\s+", " "
-        )
-    )
+    # one combined-pattern pass — the same rewrite the Python kernel
+    # already uses (kernels/textutils._TIDY_RE, pinned equal to the
+    # reference two-pass by the hypothesis property test): every maximal
+    # run of whitespace/image-marker collapses to one space either way,
+    # and Java's \s is the same ASCII class as the kernel's re.ASCII \s.
+    # The DuckDB mirror (tidy_sql) keeps the reference two-pass form, so
+    # every oracle row cross-checks this equivalence on real data.
+    return F.trim(F.regexp_replace(c, r"(?:<!-- image -->|\s)+", " "))
 
 
 def tokens_col(c: Column, lower: bool = False) -> Column:

@@ -1915,3 +1915,40 @@ def test_blocklist_filter_planted_cross_engine(spark, tmp_path):
     assert by_id[2][1] == 3 and by_id[2][3] is False  # lowered matching
     assert by_id[3] == (3, 1, 1.0, False)
     assert by_id[4] == (4, 0, 0.0, True)  # empty doc: ratio guard
+
+
+def test_tidy_col_single_pass_equals_reference_two_pass(spark):
+    """The round-7 single-regex tidy_col must equal the reference two-pass
+    Catalyst form (marker/newline pass, then whitespace collapse) on
+    marker/whitespace torture inputs — the Spark-side mirror of the kernel
+    property test test_tidy_single_pass_equals_reference_two_pass."""
+    from pyspark.sql import functions as F
+
+    from docling_rag_spark.functions.text import tidy_col
+
+    texts = [
+        "",
+        "   ",
+        "a\r\nb",
+        "x <!-- image --> y",
+        "a<!-- image --><!-- image -->b",
+        "a<!-- image\r-->b",          # marker formed only AFTER newline pass
+        "<!-- image -->lead and trail<!-- image -->",
+        "tab\tand\x0bvertical\ffeeds",
+        "mixed \r<!-- image -->\n runs\t<!-- image --> here",
+        "<!-- image-->partial<!--image -->markers",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    two_pass = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), r"[\r\n]+|<!-- image -->", " "
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    bad = df.select(
+        tidy_col(F.col("text")).alias("got"), two_pass.alias("want")
+    ).filter("got IS DISTINCT FROM want")
+    assert bad.count() == 0, bad.collect()
