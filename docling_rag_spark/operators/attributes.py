@@ -69,13 +69,7 @@ def base_attributes_frame(docs: DataFrame) -> DataFrame:
     Callers that derive from this frame must carry_scope the result."""
     n_blocked, blocked_ratio = blocklist_cols(F.col("text"))
     from .common import scoped_cache
-    from .textstats import (
-        QC_BIAS,
-        QC_W_LOG_CHARS,
-        QC_W_LOG_TOKENS,
-        QC_W_PUNCT,
-        QC_W_STOPWORD,
-    )
+    from .textstats import qc_logit_from_features
 
     staged = docs.select(
         "doc_id",
@@ -88,15 +82,14 @@ def base_attributes_frame(docs: DataFrame) -> DataFrame:
         blocked_ratio.alias("blocked_ratio"),
         F.md5("text").alias("text_digest"),
     ).cache()
-    # qc_logit_col's exact terms, read from the staged columns: rounded
-    # ratios and counts are what the shared definition feeds the linear
-    # combination, so the doubles cannot differ
-    logit = (
-        F.lit(QC_BIAS)
-        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + F.col("n_tokens"))
-        + F.lit(QC_W_STOPWORD) * F.col("stopword_ratio")
-        + F.lit(QC_W_PUNCT) * F.col("punct_ratio")
-        + F.lit(QC_W_LOG_CHARS) * F.log(F.lit(1.0) + F.col("n_chars"))
+    # the ONE shared linear combination, read from the staged columns:
+    # rounded ratios and counts are exactly what qc_logit_col feeds it,
+    # so the doubles cannot differ
+    logit = qc_logit_from_features(
+        F.col("n_tokens"),
+        F.col("stopword_ratio"),
+        F.col("punct_ratio"),
+        F.col("n_chars"),
     )
     out = staged.select(
         "doc_id",

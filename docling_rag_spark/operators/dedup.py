@@ -551,12 +551,22 @@ def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
 
 
 def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id) for ANY undirected pair graph: cluster_id =
+    """(doc_id, cluster_id) for an undirected pair graph: cluster_id =
     min doc_id reachable from doc_id through ``pairs`` (doc_a, doc_b);
     isolated nodes are their own singleton cluster. The iterative core of
     dedup_clusters, shared with the scaling bench (which feeds it a
     generated multi-million-edge graph — the sf-table graph is too small
     to measure scaling against fixed per-iteration overhead).
+
+    PRECONDITION: every ``pairs`` endpoint must appear in ``docs`` (true
+    for every caller — pairs are always derived from the same docs
+    table). Since the round-7 edge-nodes-only loop, an endpoint absent
+    from docs still PROPAGATES (its id can become a neighbor's
+    cluster_id) but is dropped from the output by the final docs left
+    join — so a violated precondition can emit a cluster_id that is not
+    any docs row (the pre-round-7 code instead ignored unknown
+    endpoints via its labels inner join). If a caller ever feeds
+    external pair lists, semi-join them onto docs first.
 
     Spark: iterative label propagation — labels(d) = min(label(d),
     min(label(n) for neighbors n)), looped to fixpoint with a driver-side

@@ -667,19 +667,40 @@ QC_W_PUNCT = -3.0
 QC_W_LOG_CHARS = 0.1
 
 
-def qc_logit_col(text: Column) -> Column:
-    """THE quality-classifier logit — the single definition shared by
-    quality_classifier, corpus_datacard, and token_budget_select, so the
-    filter, the card that audits it, and the budget ranking can never
-    drift apart. Rounded features, then the linear combination, in this
-    exact association order (mirrored term-for-term by qc_logit_sql — the
-    two engines must reproduce the doubles bit-for-bit)."""
+def qc_logit_from_features(
+    n_tokens: Column,
+    stopword_ratio_r6: Column,
+    punct_ratio_r6: Column,
+    n_chars: Column,
+) -> Column:
+    """THE quality-classifier linear combination over ALREADY-DERIVED
+    features (ratios pre-rounded to 6 dp) — the ONE place the bias,
+    weights, and association order live. qc_logit_col feeds it
+    freshly-derived feature expressions; attributes.base_attributes_frame
+    feeds it the staged feature columns — identical expression trees
+    either way, so the doubles cannot drift (mirrored term-for-term by
+    qc_logit_sql; the two engines must reproduce the doubles
+    bit-for-bit)."""
     return (
         F.lit(QC_BIAS)
-        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + token_count_col(text))
-        + F.lit(QC_W_STOPWORD) * F.round(stopword_ratio_col(text), 6)
-        + F.lit(QC_W_PUNCT) * F.round(punct_ratio_col(text), 6)
-        + F.lit(QC_W_LOG_CHARS) * F.log(F.lit(1.0) + F.length(tidy_col(text)))
+        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + n_tokens)
+        + F.lit(QC_W_STOPWORD) * stopword_ratio_r6
+        + F.lit(QC_W_PUNCT) * punct_ratio_r6
+        + F.lit(QC_W_LOG_CHARS) * F.log(F.lit(1.0) + n_chars)
+    )
+
+
+def qc_logit_col(text: Column) -> Column:
+    """THE quality-classifier logit over a text column — the single
+    definition shared by quality_classifier, corpus_datacard, and
+    token_budget_select, so the filter, the card that audits it, and the
+    budget ranking can never drift apart. Rounded features, then
+    qc_logit_from_features' linear combination."""
+    return qc_logit_from_features(
+        token_count_col(text),
+        F.round(stopword_ratio_col(text), 6),
+        F.round(punct_ratio_col(text), 6),
+        F.length(tidy_col(text)),
     )
 
 

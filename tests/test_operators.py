@@ -1714,10 +1714,17 @@ def test_event_percentiles_plan_bounded_windows_only(spark):
 
 
 def test_bpe_merges_matches_pure_python_reference(spark):
-    """Live lockstep: the distributed merge loop must reproduce the
+    """Live lockstep: the DEFAULT bpe_merges path must reproduce the
     single-process reference (kernels/bpe_ref.py) row-for-row on the real
     corpus — the same reference that generates the committed golden, so
-    operator ≡ golden ≡ reference stays transitive."""
+    operator ≡ golden ≡ reference stays transitive. Since the round-7
+    driver-local cutover, the default path at this scale collects the
+    word table and runs the reference merges itself, so the independent
+    signal HERE is the Spark tokenize/word-freq front half; the
+    DISTRIBUTED merge loop is pinned on the same real corpus by
+    test_bpe_driver_local_cutover_equals_distributed (local ≡ forced
+    distributed) and on the overlap contract by
+    test_bpe_merge_fold_non_overlapping (driver_vocab_max=0)."""
     from docling_rag_spark.kernels.bpe_ref import (
         bpe_merges_reference,
         word_freqs,
